@@ -1,0 +1,85 @@
+"""Model configuration for the HDMOEM assembly.
+
+Keeps the reference config surface (Utils/configs.py:3-35) as a frozen
+dataclass plus helpers to build one from the reference-style plain dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class HDMOEMConfig:
+    # Reference HDMOEM constructor surface (model_config2.py:74-95)
+    in_channels: int = 4
+    img_resolution: int = 32
+    internal_channels: int = 32
+    time_emb_dim: int = 64
+    text_emb_dim: int = 768
+    num_experts: int = 4
+    top_k: int = 1
+    fourier_bandwidth: float = 1.0
+    vit_num_blocks: int = 4
+    vit_patch_sizes: Tuple[int, ...] = (4, 8, 8, 16)
+    vit_num_groups: int = 4
+    vit_num_heads: int = 8
+    vit_emb_size: int = 32
+    unet_num_blocks: int = 2
+    unet_channel_mult: Tuple[int, ...] = (1, 2)
+    unet_kernel_sizes: Tuple[Tuple[int, int], ...] = ((3, 3), (3, 3), (5, 5), (5, 5))
+    unet_model_channels: int = 32
+    unet_channel_mult_emb: Optional[int] = 2
+    unet_label_balance: float = 0.5
+    unet_concat_balance: float = 0.5
+    # Preconditioning surface (model_config2.py:331-354)
+    sigma_data: float = 0.5
+    log_var_channels: int = 128
+    # TPU-native knobs (no reference analog)
+    variant: str = "config2"  # "config1": learned Scaling_router + dynamic query/context swap
+    dispatch: str = "dense"  # "dense" | "capacity"
+    capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
+    use_flash: bool = False  # Pallas flash-attention core on TPU
+
+    def capacity(self, batch_size: int) -> int:
+        import math
+
+        cap = math.ceil(self.capacity_factor * batch_size * self.top_k / self.num_experts)
+        return max(1, min(batch_size, cap))
+
+
+def default_model_config(**overrides) -> HDMOEMConfig:
+    """The reference config of record (Utils/configs.py:3-35)."""
+    return replace(HDMOEMConfig(), **overrides)
+
+
+def config_from_dict(d: dict) -> HDMOEMConfig:
+    """Build from a reference-style ``model_configs`` dict (Utils/configs.py keys)."""
+    return HDMOEMConfig(
+        in_channels=d["img_channels"],
+        img_resolution=d["img_resolution"],
+        internal_channels=d["internal_channels"],
+        time_emb_dim=d["time_emb_dim"],
+        text_emb_dim=d["text_emb_dim"],
+        num_experts=d["num_experts"],
+        top_k=d["top_k"],
+        fourier_bandwidth=d["fourier_bandwidth"],
+        vit_num_blocks=d["VIT_num_blocks"],
+        vit_patch_sizes=tuple(d["VIT_patch_sizes"]),
+        vit_num_groups=d["VIT_num_groups"],
+        vit_num_heads=d["VIT_num_heads"],
+        vit_emb_size=d["VIT_emb_size"],
+        unet_num_blocks=d["Unet_num_blocks"],
+        unet_channel_mult=tuple(d["Unet_channel_mult"]),
+        unet_kernel_sizes=tuple(tuple(k) for k in d["Unet_kernel_sizes"]),
+        unet_model_channels=d["Unet_model_channels"],
+        unet_channel_mult_emb=d.get("Unet_channel_mult_emb"),
+        unet_label_balance=d.get("Unet_label_balance", 0.5),
+        unet_concat_balance=d.get("Unet_concat_balance", 0.5),
+        sigma_data=d.get("sigma_data", 0.5),
+        log_var_channels=d.get("log_var_channels", 128),
+        variant=d.get("variant", "config2"),
+        dispatch=d.get("dispatch", "dense"),
+        use_flash=d.get("use_flash", False),
+    )

@@ -1,0 +1,120 @@
+"""Static-shape Mixture-of-Experts dispatch/combine, TPU-native.
+
+The reference dispatches with a data-dependent Python loop over boolean
+sub-batches (model_config1.py:11-39 ``router_to_unet_experts``): gather the
+samples routed to expert i, run the expert on the ragged sub-batch,
+scatter-add the weighted outputs. Data-dependent shapes cannot compile to a
+single XLA graph, so this module replaces that loop with two static-shape
+strategies:
+
+- ``dense`` (exact): every expert runs the full batch; outputs are combined
+  with the sparse gate weights. A sample whose gate weight for expert i is
+  zero contributes ``0 * expert_i(x)`` — numerically identical to the
+  reference's skip, including zero gradient flow into masked experts.
+
+- ``capacity``: classic fixed-capacity dispatch. For each expert, the first
+  ``capacity`` routed samples (in batch order) are gathered into a dense
+  (capacity, ...) sub-batch via one gather, processed, and combined back with
+  a weighted scatter. With ``capacity = B`` no sample is ever dropped (the
+  reference never drops), smaller capacities trade exactness for FLOPs.
+
+Experts are heterogeneous (different kernel/patch sizes), so they are separate
+compile units rather than a weight-stacked vmap; dispatch therefore operates
+at whole-sample granularity, matching the reference's per-sample routing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def moe_dispatch_dense(
+    x: jnp.ndarray,
+    expert_fns: Sequence[Callable[..., jnp.ndarray]],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run every expert on the full batch; combine with sparse gate weights.
+
+    ``expert_fns[i](x, time_emb, text_emb, train=..., key=...)`` must return a
+    tensor shaped like ``x``. 3-D text embeddings are mean-pooled over the
+    sequence axis first, matching model_config1.py:18-22.
+    """
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+    keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
+    out = jnp.zeros_like(x)
+    for i, fn in enumerate(expert_fns):
+        w = gate_weights[:, i].astype(x.dtype)
+        out = out + fn(x, time_emb, text_emb, train=train, key=keys[i]) * w[:, None, None, None]
+    return out
+
+
+def moe_dispatch_capacity(
+    x: jnp.ndarray,
+    expert_fns: Sequence[Callable[..., jnp.ndarray]],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    capacity: int,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Fixed-capacity gather -> expert -> weighted scatter dispatch.
+
+    For each expert i, samples with nonzero gate weight are ranked by batch
+    position; the first ``capacity`` are gathered (padded with sample 0 and a
+    zero weight when fewer are routed) and processed as one dense sub-batch.
+    Output positions are scattered back additively. With ``capacity >= B``
+    this is exact; below that, overflow samples are dropped for that expert
+    (standard MoE capacity semantics).
+    """
+    b = x.shape[0]
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+    keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
+    out = jnp.zeros_like(x)
+    for i, fn in enumerate(expert_fns):
+        w = gate_weights[:, i]
+        selected = w > 0
+        # Rank routed samples by batch order; unrouted samples sort to the end.
+        order = jnp.argsort(jnp.where(selected, jnp.arange(b), b))
+        idx = order[:capacity]
+        valid = selected[idx]
+        xi = x[idx]
+        ti = time_emb[idx]
+        txi = text_emb[idx] if text_emb is not None else None
+        oi = fn(xi, ti, txi, train=train, key=keys[i])
+        wi = jnp.where(valid, w[idx], 0.0).astype(x.dtype)
+        out = out.at[idx].add(oi * wi[:, None, None, None])
+    return out
+
+
+def moe_dispatch(
+    x: jnp.ndarray,
+    expert_fns: Sequence[Callable[..., jnp.ndarray]],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    mode: str = "dense",
+    capacity: Optional[int] = None,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    if mode == "dense":
+        return moe_dispatch_dense(x, expert_fns, gate_weights, time_emb, text_emb, train=train, key=key)
+    if mode == "capacity":
+        cap = capacity if capacity is not None else x.shape[0]
+        return moe_dispatch_capacity(
+            x, expert_fns, gate_weights, time_emb, text_emb, capacity=cap, train=train, key=key
+        )
+    raise ValueError(f"Unknown dispatch mode: {mode}")

@@ -1,0 +1,129 @@
+"""Magnitude-preserving multi-head attention, TPU-native.
+
+Re-design of the reference ``MP_Attention`` (model_internals.py:279-409).
+The reference routes (B, L, C) sequences through 1x1 MP convolutions on a
+permuted (B, C, L, 1) layout; a 1x1 conv is exactly a per-position linear map,
+so here projections are plain MP linears on (B, L, C) — identical math, no
+layout churn, and the Q@K^T / @V contractions map straight onto the MXU.
+
+Features preserved from the reference:
+- optional additive time projections (q always; k/v only for self-attention,
+  model_internals.py:329-331, 368-372)
+- learnable dense relative-position bias (heads, S, S) for self-attention,
+  sliced for shorter sequences / bicubically resized for longer ones
+  (model_internals.py:383-399)
+- residual mix via ``mp_sum(residual, out, attn_balance)``
+  (model_internals.py:409)
+
+Set ``use_flash=True`` to run the softmax(QK^T+bias)V core through the Pallas
+flash-attention kernel (ops/pallas/flash_attention.py) on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hdmoe_tpu.ops import mp
+
+
+def mp_attention_init(
+    key: jax.Array,
+    num_heads: int,
+    emb_dim: int,
+    seq_ln: int,
+    time_dim: int = 0,
+    context_dim: Optional[int] = None,
+    is_cross_attn: bool = False,
+) -> dict:
+    assert emb_dim % num_heads == 0
+    if context_dim is None:
+        context_dim = emb_dim
+    keys = jax.random.split(key, 7)
+    params = {
+        "q_proj": mp.mp_conv_init(keys[0], emb_dim, emb_dim),
+        "k_proj": mp.mp_conv_init(keys[1], context_dim, emb_dim),
+        "v_proj": mp.mp_conv_init(keys[2], context_dim, emb_dim),
+        "out_proj": mp.mp_conv_init(keys[3], emb_dim, emb_dim),
+    }
+    if not is_cross_attn:
+        params["rel_pos_bias"] = jnp.zeros((num_heads, seq_ln, seq_ln), dtype=jnp.float32)
+    if time_dim > 0:
+        params["q_time"] = mp.mp_conv_init(keys[4], time_dim, emb_dim)
+        if not is_cross_attn:
+            params["k_time"] = mp.mp_conv_init(keys[5], time_dim, emb_dim)
+            params["v_time"] = mp.mp_conv_init(keys[6], time_dim, emb_dim)
+    return params
+
+
+def _resolve_bias(bias: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """Slice (short sequences) or bicubically resize (long) the rel-pos bias."""
+    trained = bias.shape[1]
+    if seq_len <= trained:
+        return bias[:, :seq_len, :seq_len]
+    return jax.image.resize(bias, (bias.shape[0], seq_len, seq_len), method="cubic")
+
+
+def mp_attention_apply(
+    params: dict,
+    query: jnp.ndarray,
+    gain_s=1.0,
+    gain_t=1.0,
+    context: Optional[jnp.ndarray] = None,
+    time_embedding: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    attn_balance: float = 0.5,
+    is_cross_attn: bool = False,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """Attention forward on (B, L, C) sequences.
+
+    ``time_embedding`` is (B, time_dim) or (B, 1, time_dim); its projection is
+    broadcast-added over the sequence axis, matching the reference's
+    (B, C, 1, 1) conv output broadcast.
+    """
+    res = query
+    b, seq_len, emb_dim = query.shape
+    head_dim = emb_dim // num_heads
+    ctx = query if context is None else context
+
+    q = mp.mp_conv_apply(params["q_proj"], query.reshape(-1, emb_dim), gain=gain_s).reshape(b, seq_len, emb_dim)
+    k = mp.mp_conv_apply(params["k_proj"], ctx.reshape(-1, ctx.shape[-1]), gain=gain_s).reshape(b, ctx.shape[1], emb_dim)
+    v = mp.mp_conv_apply(params["v_proj"], ctx.reshape(-1, ctx.shape[-1]), gain=gain_s).reshape(b, ctx.shape[1], emb_dim)
+
+    if "q_time" in params and time_embedding is not None:
+        t = time_embedding.reshape(b, -1)
+        q = q + mp.mp_conv_apply(params["q_time"], t, gain=gain_t)[:, None, :]
+        if not is_cross_attn:
+            k = k + mp.mp_conv_apply(params["k_time"], t, gain=gain_t)[:, None, :]
+            v = v + mp.mp_conv_apply(params["v_time"], t, gain=gain_t)[:, None, :]
+
+    # (B, L, H, D) -> (B, H, L, D); channel index = h*head_dim + d, matching the
+    # reference's view(B, H, D, L) split of the conv channel axis.
+    q = q.reshape(b, seq_len, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, k.shape[1], num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, v.shape[1], num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    bias = None
+    if not is_cross_attn:
+        bias = _resolve_bias(params["rel_pos_bias"], seq_len)
+
+    if use_flash:
+        from hdmoe_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, bias=bias)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim)
+        if bias is not None:
+            scores = scores + bias[None]
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, seq_len, emb_dim)
+    out = mp.mp_conv_apply(params["out_proj"], out.reshape(-1, emb_dim), gain=gain_s).reshape(b, seq_len, emb_dim)
+    return mp.mp_sum(res, out, attn_balance)

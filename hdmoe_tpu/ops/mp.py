@@ -1,0 +1,293 @@
+"""Magnitude-preserving primitives (EDM2-style), TPU-native.
+
+Pure-JAX re-design of the reference primitive layer
+(/root/reference/models/model_internals.py:8-275). Differences from the
+reference are deliberate TPU-first choices, not omissions:
+
+- Image tensors are NHWC (TPU conv layout), not NCHW.
+- ``MP_Conv``'s training-time in-place weight re-projection
+  (model_internals.py:254-256) becomes a pure parameter projection applied in
+  the optimizer update (see train/optim.py:project_mp_weights); the forward
+  always normalizes weights at use, which composes to the same math.
+- ``resample`` (model_internals.py:95-127) with the default [1,1] filter is
+  exactly 2x2 mean-pool (down) / 2x2 nearest repeat (up); we implement those
+  directly with reshapes instead of grouped (transposed) convolutions — same
+  values, far cheaper on TPU.
+- RNG is threaded explicitly via jax.random keys.
+
+Parameters are plain nested dicts of jnp arrays. MP-normalized weights are
+stored under the key ``"mpw"`` so the optimizer-side projection can find them
+generically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Stateless magnitude-preserving ops
+# ---------------------------------------------------------------------------
+
+
+def normalize(x: jnp.ndarray, axis: Optional[Sequence[int]] = None, eps: float = 1e-4) -> jnp.ndarray:
+    """Project ``x`` onto the unit-RMS hypersphere.
+
+    Matches reference ``normalize`` (model_internals.py:8-30): the divisor is
+    ``eps + ||x||_2 * sqrt(n_reduced_elems^-1)`` i.e. ``eps + RMS(x)`` computed
+    in float32, reducing over ``axis`` (default: all but the leading dim).
+    """
+    if axis is None:
+        axis = tuple(range(1, x.ndim))
+    else:
+        axis = tuple(a % x.ndim for a in axis)
+    x32 = x.astype(jnp.float32)
+    n = 1
+    for a in axis:
+        n *= x.shape[a]
+    norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=axis, keepdims=True))
+    w = eps + norm * (1.0 / math.sqrt(n))
+    return (x32 / w).astype(x.dtype)
+
+
+def mp_silu(x: jnp.ndarray) -> jnp.ndarray:
+    """Variance-restoring SiLU: ``silu(x)/0.596`` (model_internals.py:33-47)."""
+    return jax.nn.silu(x) / 0.596
+
+
+def mp_sum(a: jnp.ndarray, b: jnp.ndarray, t: float = 0.5) -> jnp.ndarray:
+    """Magnitude-preserving lerp: ``lerp(a,b,t)/sqrt((1-t)^2+t^2)``.
+
+    Matches model_internals.py:50-66. ``t`` may be a python float or a traced
+    scalar (e.g. a learnable balance).
+    """
+    denom = jnp.sqrt((1.0 - t) ** 2 + t**2)
+    return (a + (b - a) * t) / denom
+
+
+def mp_cat(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1, t: float = 0.5) -> jnp.ndarray:
+    """Magnitude-preserving concatenation (model_internals.py:69-92).
+
+    Per-branch weights ``Wa = c(1-t)/sqrt(Na)``, ``Wb = c t/sqrt(Nb)`` with
+    ``c = sqrt((Na+Nb)/((1-t)^2+t^2))``. Default axis is -1 (channels in NHWC),
+    where the reference default was 1 (channels in NCHW).
+    """
+    na = a.shape[axis]
+    nb = b.shape[axis]
+    c1 = math.sqrt((na + nb) / ((1.0 - t) ** 2 + t**2))
+    wa = c1 * (1.0 - t) / math.sqrt(na)
+    wb = c1 * t / math.sqrt(nb)
+    return jnp.concatenate([wa * a, wb * b], axis=axis)
+
+
+def resample(x: jnp.ndarray, mode: str = "keep") -> jnp.ndarray:
+    """Spatial 2x resampling of an NHWC tensor (model_internals.py:95-127).
+
+    With the reference's default filter ``f=[1,1]`` the grouped conv collapses
+    to a 2x2 mean-pool (``down``) and the transposed conv (``kernel*4``) to a
+    2x2 nearest-neighbour repeat (``up``); we compute those forms directly.
+    """
+    if mode == "keep":
+        return x
+    b, h, w, c = x.shape
+    if mode == "down":
+        return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+    if mode == "up":
+        x = x[:, :, None, :, None, :]
+        x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+        return x.reshape(b, h * 2, w * 2, c)
+    raise ValueError(f"Invalid mode: {mode}")
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """PixelShuffle on NHWC input with torch channel ordering.
+
+    ``out[b, h*r+i, w*r+j, c] = in[b, h, w, c*r*r + i*r + j]`` — matches
+    ``nn.PixelShuffle`` (used by the ViT expert unpatchify,
+    model_components.py:647) transposed to NHWC.
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def dropout(x: jnp.ndarray, rate: float, key: Optional[jax.Array], train: bool) -> jnp.ndarray:
+    """Inverted dropout matching ``F.dropout`` semantics."""
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MP Fourier features
+# ---------------------------------------------------------------------------
+
+
+def mp_fourier_init(key: jax.Array, num_channels: int, bandwidth: float = 1.0) -> dict:
+    """Random Fourier features (model_internals.py:130-175).
+
+    ``freqs = 2*pi*randn(n)*bandwidth``, ``phases = 2*pi*rand(n)`` — fixed
+    (non-trainable) buffers.
+    """
+    k1, k2 = jax.random.split(key)
+    return {
+        "freqs": 2.0 * jnp.pi * jax.random.normal(k1, (num_channels,)) * bandwidth,
+        "phases": 2.0 * jnp.pi * jax.random.uniform(k2, (num_channels,)),
+    }
+
+
+def mp_fourier_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``sqrt(2) * cos(x ⊗ freqs + phases)``; x strictly shaped (B,)."""
+    y = x.astype(jnp.float32)
+    y = y[:, None] * params["freqs"][None, :].astype(jnp.float32)
+    y = y + params["phases"][None, :].astype(jnp.float32)
+    return (jnp.cos(y) * math.sqrt(2.0)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal positional encoding (reference Pos_encoding; unused by the model
+# but part of the public primitive surface, model_internals.py:178-206)
+# ---------------------------------------------------------------------------
+
+
+def pos_encoding_init(key: jax.Array, emb_dim: int = 512, freq_emb_dim: int = 256, max_period: int = 10000) -> dict:
+    assert freq_emb_dim % 2 == 0
+    half = freq_emb_dim // 2
+    k1, k2 = jax.random.split(key)
+    freq = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    # Two-layer MLP with torch nn.Linear default init (uniform +-1/sqrt(fan_in)).
+    lim1 = 1.0 / math.sqrt(freq_emb_dim)
+    lim2 = 1.0 / math.sqrt(emb_dim)
+    k1a, k1b = jax.random.split(k1)
+    k2a, k2b = jax.random.split(k2)
+    return {
+        "freq": freq,
+        "w1": jax.random.uniform(k1a, (emb_dim, freq_emb_dim), minval=-lim1, maxval=lim1),
+        "b1": jax.random.uniform(k1b, (emb_dim,), minval=-lim1, maxval=lim1),
+        "w2": jax.random.uniform(k2a, (emb_dim, emb_dim), minval=-lim2, maxval=lim2),
+        "b2": jax.random.uniform(k2b, (emb_dim,), minval=-lim2, maxval=lim2),
+    }
+
+
+def pos_encoding_apply(params: dict, time_vec: jnp.ndarray) -> jnp.ndarray:
+    t = time_vec.reshape(-1).astype(jnp.float32)
+    args = t[:, None] * params["freq"][None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    h = emb @ params["w1"].T + params["b1"]
+    h = jax.nn.silu(h)
+    return h @ params["w2"].T + params["b2"]
+
+
+# ---------------------------------------------------------------------------
+# MP Conv / Linear
+# ---------------------------------------------------------------------------
+
+
+def mp_conv_init(key: jax.Array, in_channels: int, out_channels: int, kernel: Tuple[int, ...] = ()) -> dict:
+    """Unified MP linear/conv weights (model_internals.py:209-238).
+
+    ``kernel=()`` gives a linear layer with weight (out, in); ``kernel=(kh,kw)``
+    a conv with weight (out, in, kh, kw) (OIHW — kept torch-ordered so
+    checkpoints are portable; the conv call maps it onto NHWC activations).
+    Weights init to standard normal — scale is irrelevant since forward
+    normalizes.
+    """
+    w = jax.random.normal(key, (out_channels, in_channels, *kernel), dtype=jnp.float32)
+    return {"mpw": w}
+
+
+def _mp_weight(params: dict, gain) -> jnp.ndarray:
+    w = params["mpw"].astype(jnp.float32)
+    w = normalize(w)
+    fan_in = 1
+    for d in w.shape[1:]:
+        fan_in *= d
+    return w * (gain / math.sqrt(fan_in))
+
+
+def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jnp.ndarray:
+    """Forward of MP conv/linear (model_internals.py:240-275).
+
+    2-D input -> linear; 4-D NHWC input -> conv2d. Stride-1 convs use the
+    reference's manual asymmetric 'same' padding (low = (k-1)//2,
+    high = (k-1) - (k-1)//2); stride>1 uses symmetric ``k//2``.
+    """
+    w = _mp_weight(params, gain).astype(x.dtype)
+    if x.ndim == 2:
+        return x @ w.T
+    assert x.ndim == 4, f"MP conv expects 2-D or 4-D input, got {x.shape}"
+    kh, kw = w.shape[-2], w.shape[-1]
+    if stride == 1:
+        pad_h = (kh - 1) // 2, (kh - 1) - (kh - 1) // 2
+        pad_w = (kw - 1) // 2, (kw - 1) - (kw - 1) // 2
+    else:
+        pad_h = (kh // 2, kh // 2)
+        pad_w = (kw // 2, kw // 2)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm layers (torch-semantics GroupNorm / LayerNorm; used by routers and ViT
+# blocks, model_components.py:32,102,491,495)
+# ---------------------------------------------------------------------------
+
+
+def group_norm_init(num_channels: int) -> dict:
+    return {
+        "scale": jnp.ones((num_channels,), dtype=jnp.float32),
+        "bias": jnp.zeros((num_channels,), dtype=jnp.float32),
+    }
+
+
+def group_norm_apply(
+    params: dict, x: jnp.ndarray, num_groups: int, eps: float = 1e-5, channel_axis: int = -1
+) -> jnp.ndarray:
+    """GroupNorm with torch semantics: stats per (batch, group) over the group's
+    channels and all non-batch spatial dims; affine per channel.
+
+    ``channel_axis=-1`` for NHWC / (B, L, C) activations.
+    """
+    ca = channel_axis % x.ndim
+    c = x.shape[ca]
+    g = num_groups
+    # Move channels last, flatten spatial.
+    perm = [i for i in range(x.ndim) if i != ca] + [ca]
+    inv_perm = [perm.index(i) for i in range(x.ndim)]
+    xt = x.transpose(perm)  # (..., C)
+    lead = xt.shape[:-1]
+    b = lead[0]
+    xt = xt.reshape(b, -1, g, c // g)  # (B, spatial, G, C/G)
+    mean = xt.mean(axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xt - mean), axis=(1, 3), keepdims=True)
+    xt = (xt - mean) * lax.rsqrt(var + eps)
+    xt = xt.reshape(b, *lead[1:], c)
+    xt = xt * params["scale"] + params["bias"]
+    return xt.transpose(inv_perm)
+
+
+def layer_norm_init(dim: int) -> dict:
+    return {
+        "scale": jnp.ones((dim,), dtype=jnp.float32),
+        "bias": jnp.zeros((dim,), dtype=jnp.float32),
+    }
+
+
+def layer_norm_apply(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]

@@ -1,0 +1,147 @@
+"""The jitted training step: one XLA executable per optimizer update.
+
+The reference hot loop (Utils/training.py:114-197) runs ~10 separate GPU
+launches per step with host syncs between them (sigma draw, noise add, mask
+gen, model forward, loss, backward, clip, step, scheduler). Here the entire
+step — sigma sampling, noising, zeta/mask schedules, forward, loss, backward,
+global-norm clip, multi-group AdamW update, MP weight projection — traces
+into ONE jit (and later pjit) program: no host round-trips, full XLA fusion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hdmoe_tpu.models.configs import HDMOEMConfig
+from hdmoe_tpu.models.hdmoem import precond_apply
+from hdmoe_tpu.train.loss import EDMLossConfig, edm_loss
+from hdmoe_tpu.train.optim import OptimConfig, make_optimizer, project_mp_weights
+from hdmoe_tpu.train.schedulers import MaskGenerator, ZetaSchedule
+from hdmoe_tpu.train.sigma import sample_sigma_hybrid
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Step-level hyperparameters from the reference config dicts
+    (Utils/configs.py:36-70 + training.py:125-154)."""
+
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    p_mean: float = -1.2
+    p_std: float = 1.6
+    extreme_prob: float = 0.5
+    transition_point: float = -1.2  # = p_mean (training.py:151)
+    softness: float = 1.6  # = p_std (training.py:152)
+
+
+def init_train_state(params, optim_cfg: OptimConfig) -> TrainState:
+    tx = make_optimizer(optim_cfg)
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _component_grad_norms(grads) -> Dict[str, jnp.ndarray]:
+    """Per-component global grad norms with the reference logger's vocabulary
+    (graphs/logger.py:252-254)."""
+    net = grads["net"]
+    names = {
+        "Unet_experts": "unet_experts",
+        "VIT_experts": "vit_experts",
+        "Unet_router": "unet_router",
+        "vit_router": "vit_router",
+        "scaling_net": "scaling_net",
+        "cross_attn": "cross_attn",
+    }
+    out = {}
+    for log_name, key in names.items():
+        if key in net:
+            leaves = jax.tree_util.tree_leaves(net[key])
+            sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+            out[f"{log_name}_grad_norm"] = jnp.sqrt(sq)
+    return out
+
+
+def make_train_step(
+    model_cfg: HDMOEMConfig,
+    loss_cfg: EDMLossConfig,
+    optim_cfg: OptimConfig,
+    train_cfg: TrainConfig,
+    unet_mask_gen: MaskGenerator,
+    vit_mask_gen: MaskGenerator,
+    zeta_sched: ZetaSchedule,
+):
+    """Build the pure train-step function (jit/pjit it at the call site).
+
+    step(state, latents(NHWC), text_emb|None, key) ->
+        (new_state, metrics dict, model aux dict for router/gating logging)
+    """
+    tx = make_optimizer(optim_cfg)
+
+    def train_step(
+        state: TrainState,
+        latents: jnp.ndarray,
+        text_emb: Optional[jnp.ndarray],
+        key: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        b = latents.shape[0]
+        k_sigma, k_noise, k_model = jax.random.split(key, 3)
+        sigma = sample_sigma_hybrid(
+            k_sigma, b,
+            sigma_min=train_cfg.sigma_min, sigma_max=train_cfg.sigma_max,
+            p_mean=train_cfg.p_mean, p_std=train_cfg.p_std,
+            extreme_prob=train_cfg.extreme_prob,
+        )
+        noise = jax.random.normal(k_noise, latents.shape) * sigma
+        x_noised = latents + noise
+        zeta = zeta_sched(state.step)
+        unet_mask = unet_mask_gen(sigma, state.step)
+        vit_mask = vit_mask_gen(sigma, state.step)
+
+        def loss_fn(params):
+            out = precond_apply(
+                params, model_cfg, x_noised, sigma, text_emb, unet_mask, vit_mask, zeta,
+                transition_point=train_cfg.transition_point, softness=train_cfg.softness,
+                return_log_var=True, train=True, key=k_model,
+            )
+            ld = edm_loss(loss_cfg, latents, sigma, out)
+            return ld["loss"], (ld, out)
+
+        (_, (loss_dict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = project_mp_weights(params)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+
+        metrics = dict(loss_dict)
+        metrics["zeta"] = jnp.asarray(zeta)
+        metrics["log_var"] = (
+            out["log_var"].mean() if out["log_var"] is not None else jnp.asarray(0.0)
+        )
+        metrics["sigma_mean"] = sigma.mean()
+        metrics["sigma_min"] = sigma.min()
+        metrics["sigma_max"] = sigma.max()
+        metrics["sigma_std"] = sigma.reshape(-1).std()
+        metrics["grad_norm_total"] = optax.global_norm(grads)
+        metrics.update(_component_grad_norms(grads))
+
+        aux = {
+            "unet_probs": out["Unet_router_loss"],
+            "vit_probs": out["vit_router_loss"],
+            "scaling_factors": out["scaling_net_out"],
+            "out_gate": out["out_gate"].mean(axis=(1, 2)),  # (B, 2) pixel-gate means
+            "sigma": sigma.reshape(-1),
+        }
+        return new_state, metrics, aux
+
+    return train_step

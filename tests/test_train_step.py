@@ -1,0 +1,105 @@
+"""End-to-end train step tests: single device and sharded over the virtual
+8-device CPU mesh (DP x TP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdmoe_tpu.models import precond_init
+from hdmoe_tpu.parallel import MeshConfig, make_mesh, make_sharded_train_step, shard_train_state
+from hdmoe_tpu.train.loss import EDMLossConfig
+from hdmoe_tpu.train.optim import OptimConfig, label_params, project_mp_weights
+from hdmoe_tpu.train.schedulers import MaskGenerator, ZetaSchedule
+from hdmoe_tpu.train.train_step import TrainConfig, init_train_state, make_train_step
+
+from tests.test_model import tiny_cfg
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _build(b=4, **cfg_kw):
+    cfg = tiny_cfg(**cfg_kw)
+    params = precond_init(KEY, cfg)
+    loss_cfg = EDMLossConfig(num_experts=cfg.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
+    optim_cfg = OptimConfig(total_schedule_steps=100)
+    train_cfg = TrainConfig(p_mean=-1.2, p_std=1.6)
+    umask = MaskGenerator(expert_attributes=(3.0, 5.0), p_mean=-1.2, p_std=1.6, noise_range=(0.0, 0.6))
+    vmask = MaskGenerator(expert_attributes=(2.0, 4.0), p_mean=-1.2, p_std=1.6, noise_range=(0.4, 1.0))
+    zeta = ZetaSchedule(total_steps=100, max_zeta=2.0, min_zeta=0.01)
+    step_fn = make_train_step(cfg, loss_cfg, optim_cfg, train_cfg, umask, vmask, zeta)
+    state = init_train_state(params, optim_cfg)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)) * 0.5
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 7, cfg.text_emb_dim))
+    return cfg, step_fn, state, latents, text
+
+
+def test_label_params_groups():
+    cfg = tiny_cfg()
+    params = precond_init(KEY, cfg)
+    labels = label_params(params)
+    assert labels["net"]["unet_experts"][0]["out_gain"] == "unet"
+    assert labels["net"]["vit_experts"][0]["pos_emb"] == "vit"
+    assert labels["net"]["cross_attn"]["q_proj"]["mpw"] == "attn"
+    assert labels["net"]["unet_router"]["linear"]["mpw"] == "router"
+    assert labels["net"]["gate1"]["mpw"] == "other"
+    assert labels["log_var_linear"]["mpw"] == "other"
+
+
+def test_project_mp_weights_unit_norm():
+    cfg = tiny_cfg()
+    params = precond_init(KEY, cfg)
+    proj = project_mp_weights(params)
+    w = proj["net"]["gate1"]["mpw"]
+    rms = np.sqrt(np.mean(np.square(np.asarray(w)), axis=tuple(range(1, w.ndim))))
+    np.testing.assert_allclose(rms, np.ones_like(rms), atol=1e-2)
+    # non-mpw leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(proj["net"]["vit_experts"][0]["pos_emb"]),
+        np.asarray(params["net"]["vit_experts"][0]["pos_emb"]),
+    )
+
+
+def test_train_step_reduces_loss_single_device():
+    cfg, step_fn, state, latents, text = _build()
+    jit_step = jax.jit(step_fn)
+    losses = []
+    key = jax.random.PRNGKey(3)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics, aux = jit_step(state, latents, text, sub)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    # training on a fixed batch must make progress
+    assert losses[-1] < losses[0]
+    # metric vocabulary for the logger
+    for k in ("loss", "denoising", "balance", "z_loss", "entropy", "pure_loss",
+              "zeta", "log_var", "grad_norm_total", "Unet_experts_grad_norm"):
+        assert k in metrics, k
+    assert aux["unet_probs"].shape == (4, cfg.num_experts)
+
+
+def test_train_step_sharded_matches_metrics_shape():
+    mesh = make_mesh(MeshConfig(data=4, model=2, expert=1))
+    cfg, step_fn, state, latents, text = _build(b=8)
+    state = shard_train_state(state, mesh)
+    sharded = make_sharded_train_step(step_fn, mesh, donate_state=False)
+    state2, metrics, aux = sharded(state, latents, text, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params stay sharded after the update
+    w = state2.params["net"]["gate1"]["mpw"]
+    assert not w.sharding.is_fully_replicated or w.shape[0] % 2 != 0
+
+
+def test_sharded_step_matches_single_device():
+    """DPxTP sharding must not change the math (same PRNG, same batch)."""
+    mesh = make_mesh(MeshConfig(data=4, model=2, expert=1))
+    cfg, step_fn, state, latents, text = _build(b=8)
+    k = jax.random.PRNGKey(5)
+    _, m1, _ = jax.jit(step_fn)(state, latents, text, k)
+    state_sh = shard_train_state(state, mesh)
+    sharded = make_sharded_train_step(step_fn, mesh, donate_state=False)
+    _, m2, _ = sharded(state_sh, latents, text, k)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m1["denoising"]), float(m2["denoising"]), rtol=2e-4)

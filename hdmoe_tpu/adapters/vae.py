@@ -1,0 +1,156 @@
+"""Frozen SD-VAE adapter for latent diffusion, TPU-native.
+
+Re-design of reference ``StabilityVAE`` (Utils/VAE_CLIP.py:7-88): a frozen
+stabilityai/sd-vae-ft-mse encode/decode pair running as an XLA inference
+graph, with the same numeric contract:
+
+- encode: uint8 [0,255] pixels -> reparameterized latent sample scaled by
+  ``0.18215 * target_std`` so latents ~ N(0, sigma_data).
+- decode: inverse scaling -> uint8 [0,255].
+
+This environment has zero egress, so HuggingFace weights may be absent; the
+adapter hierarchy is pluggable (mirroring the reference's MockDenoiser test
+pattern):
+
+- ``StabilityVAE``: real diffusers Flax AutoencoderKL, loaded from a local
+  cache path (raises a clear error if weights are unavailable).
+- ``FakeVAE``: deterministic stand-in with the same shape/stat contract
+  (8x spatial downsample to 4 channels via fixed orthogonal projections,
+  approximately invertible) for hermetic tests and smoke training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FakeVAE:
+    """Deterministic VAE stand-in with the SD-VAE shape contract.
+
+    encode: (B, H, W, 3) uint8 -> (B, H/8, W/8, 4) float32 ~ N(0, target_std)
+    decode: approximate inverse (projection transpose), uint8 out.
+
+    Latent channels 0-2 carry the per-color 8x8 block means (an area
+    downsample, so decodes are visually meaningful images); channel 3 is a
+    fixed random orthonormal direction. Linear, deterministic, and
+    stat-preserving — what the training/sampling stack needs for hermetic
+    end-to-end runs.
+    """
+
+    latent_channels = 4
+    downsample = 8
+
+    def __init__(self, target_std: float = 0.5, seed: int = 0):
+        self.target_std = target_std
+        rng = np.random.RandomState(seed)
+        d = self.downsample
+        block = d * d * 3
+        # Columns 0-2: normalized per-color block-mean directions.
+        base = np.zeros((block, 3), dtype=np.float32)
+        # pixel layout within a block is (dy, dx, color) flattened
+        for c in range(3):
+            base[c::3, c] = 1.0 / np.sqrt(d * d)
+        a = rng.randn(block, 1).astype(np.float32)
+        a -= base @ (base.T @ a)  # orthogonalize against the mean directions
+        a /= np.linalg.norm(a)
+        self._proj = jnp.asarray(np.concatenate([base, a], axis=1))  # (192, 4)
+
+    def init(self, device=None):
+        return self
+
+    def encode(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """uint8/float [0,255] NHWC pixels -> latents ~ N(0, target_std)."""
+        x = x.astype(jnp.float32) / 127.5 - 1.0
+        b, h, w, c = x.shape
+        d = self.downsample
+        x = x.reshape(b, h // d, d, w // d, d, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h // d, w // d, d * d * c)
+        # projection columns have unit norm => mean channels come out d*mean;
+        # normalize to block means (std ~0.5 for natural content) and rescale
+        # to target_std with a FIXED factor so encoding is batch-independent.
+        lat = (x @ self._proj) / self.downsample * (self.target_std / 0.5)
+        if key is not None:
+            lat = lat + jax.random.normal(key, lat.shape) * 0.01 * self.target_std
+        return lat
+
+    def decode(self, lat: jnp.ndarray) -> jnp.ndarray:
+        """latents -> uint8 [0,255] NHWC pixels."""
+        b, hl, wl, c = lat.shape
+        d = self.downsample
+        x = (lat * (0.5 / self.target_std) * self.downsample) @ self._proj.T
+        x = x.reshape(b, hl, wl, d, d, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hl * d, wl * d, 3)
+        return jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
+class StabilityVAE:
+    """Frozen diffusers Flax SD-VAE (stabilityai/sd-vae-ft-mse) as an XLA
+    inference graph. Matches reference VAE_CLIP.py:7-88 numerics: encode
+    samples the posterior (reparameterization) then scales by
+    ``0.18215 * target_std``; decode inverts.
+    """
+
+    def __init__(
+        self,
+        vae_name: str = "stabilityai/sd-vae-ft-mse",
+        scale_factor: float = 0.18215,
+        target_std: float = 0.5,
+        local_path: Optional[str] = None,
+    ):
+        self.vae_name = vae_name
+        self.scale_factor = scale_factor
+        self.target_std = target_std
+        self.enc_scaler = scale_factor * target_std
+        self.local_path = local_path
+        self._vae = None
+        self._params = None
+
+    def init(self, device=None):
+        if self._vae is not None:
+            return self
+        try:
+            from diffusers import FlaxAutoencoderKL
+
+            src = self.local_path or self.vae_name
+            self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src)
+        except Exception as e:  # zero-egress env or missing flax weights
+            raise RuntimeError(
+                f"SD-VAE weights unavailable ({e}); use FakeVAE for hermetic runs "
+                f"or provide local_path to cached Flax weights."
+            ) from e
+        return self
+
+    def encode(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """uint8 [0,255] NHWC -> latents ~ N(0, target_std) via posterior sample."""
+        self.init()
+        pixels = x.astype(jnp.float32) / 127.5 - 1.0
+        nchw = pixels.transpose(0, 3, 1, 2)
+        posterior = self._vae.apply({"params": self._params}, nchw, method=self._vae.encode)
+        dist = posterior.latent_dist
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sampled = dist.mean + jax.random.normal(key, dist.mean.shape) * dist.std
+        return sampled.transpose(0, 2, 3, 1) * self.enc_scaler
+
+    def decode(self, lat: jnp.ndarray) -> jnp.ndarray:
+        self.init()
+        raw = (lat / self.enc_scaler).transpose(0, 3, 1, 2)
+        out = self._vae.apply({"params": self._params}, raw, method=self._vae.decode).sample
+        out = out.transpose(0, 2, 3, 1)
+        return jnp.clip((out + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
+def make_vae(kind: str = "auto", target_std: float = 0.5, **kw):
+    """'real' | 'fake' | 'auto' (real if weights load, else fake)."""
+    if kind == "fake":
+        return FakeVAE(target_std=target_std, **kw)
+    if kind == "real":
+        return StabilityVAE(target_std=target_std, **kw).init()
+    try:
+        return StabilityVAE(target_std=target_std, **kw).init()
+    except Exception:
+        return FakeVAE(target_std=target_std)

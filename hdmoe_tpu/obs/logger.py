@@ -1,0 +1,192 @@
+"""JSONL training telemetry with the reference metric vocabulary.
+
+Re-design of reference graphs/logger.py (4 JSONL streams: training, router
+stats, gradients, weights) for the jitted-train-step world: the step function
+returns one metrics dict + one aux dict per step (already reduced on device),
+and the logger consumes those with a single host transfer — no parameter
+iteration or ``.item()`` syncs in the hot loop (the reference does dozens per
+step, training.py:162-194).
+
+Metric vocabulary preserved (SURVEY.md §5): loss/denoising/balance/z_loss/
+entropy/pure_loss, zeta, log_var, lr, avg_sigma_percentile; per-router
+entropy/gini/max/min usage/dead_experts/usage_std/per-expert usage;
+scaling_{vit,unet}_{mean,min,max}, gate_wx/gate_wa, noise_level stats;
+per-component grad norms; weight mean/std/min/max.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import defaultdict
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_float(v) -> float:
+    return float(np.asarray(v))
+
+
+class Logger:
+    """Four JSONL streams, interval-averaged like the reference
+    (graphs/logger.py:36-67, 328-345)."""
+
+    def __init__(self, log_dir: str = "./training_logs", run_name: str = "experiment", log_interval: int = 10):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.run_name = run_name
+        self.log_interval = log_interval
+        self.main_log_file = self.log_dir / f"{run_name}_training.jsonl"
+        self.router_log_file = self.log_dir / f"{run_name}_router_stats.jsonl"
+        self.gradient_log_file = self.log_dir / f"{run_name}_gradients.jsonl"
+        self.weight_log_file = self.log_dir / f"{run_name}_weights.jsonl"
+        self._acc: Dict[str, list] = defaultdict(list)
+
+    # -- main training stream ------------------------------------------------
+
+    def log_training_step(
+        self,
+        step: int,
+        metrics: Dict[str, Any],
+        lr: float,
+        p_mean: float,
+        p_std: float,
+    ) -> None:
+        """Accumulate scalars; flush an averaged record every ``log_interval``.
+
+        ``metrics`` is the train-step output dict (loss terms + zeta/log_var/
+        sigma stats/grad norms)."""
+        self._acc["step"].append(step)
+        for key in ("loss", "denoising", "balance", "z_loss", "entropy", "pure_loss", "zeta", "log_var"):
+            if key in metrics:
+                self._acc[key].append(_to_float(metrics[key]))
+        self._acc["lr"].append(float(lr))
+        if "sigma_mean" in metrics:
+            # average sigma percentile under the training log-normal
+            log_sigma = math.log(max(_to_float(metrics["sigma_mean"]), 1e-12))
+            pct = 0.5 * (1.0 + math.erf((log_sigma - p_mean) / (p_std * math.sqrt(2.0))))
+            self._acc["avg_sigma_percentile"].append(pct)
+        if step % self.log_interval == 0 and self._acc["step"]:
+            self._flush_training()
+
+    # -- router stream -------------------------------------------------------
+
+    def log_router_statistics(
+        self,
+        step: int,
+        unet_probs,
+        vit_probs,
+        sigma,
+        p_mean: float,
+        p_std: float,
+    ) -> None:
+        if step % self.log_interval != 0:
+            return
+        unet = np.asarray(unet_probs)
+        vit = np.asarray(vit_probs)
+        s = np.asarray(sigma).reshape(-1)
+        pct = 0.5 * (1.0 + np.vectorize(math.erf)((np.log(s) - p_mean) / (p_std * math.sqrt(2.0))))
+        record = {"step": int(step), "avg_sigma_percentile": float(pct.mean())}
+        for name, probs in (("unet", unet), ("vit", vit)):
+            usage = probs.mean(axis=0)
+            norm = usage / (usage.sum() + 1e-10)
+            entropy = float(-np.sum(norm * np.log(norm + 1e-10)))
+            sorted_u = np.sort(usage)
+            n = len(sorted_u)
+            cumsum = np.cumsum(sorted_u)
+            gini = float(
+                (2.0 * np.sum(np.arange(1, n + 1) * sorted_u)) / (n * cumsum[-1]) - (n + 1) / n
+            )
+            record.update(
+                {
+                    f"{name}_entropy": entropy,
+                    f"{name}_gini": gini,
+                    f"{name}_max_usage": float(usage.max()),
+                    f"{name}_min_usage": float(usage.min()),
+                    f"{name}_dead_experts": int((usage < 0.01).sum()),
+                    f"{name}_usage_std": float(usage.std()),
+                    f"{name}_expert_usage": usage.tolist(),
+                }
+            )
+        self._write(self.router_log_file, record)
+
+    # -- scaling / gating ----------------------------------------------------
+
+    def log_scaling_gating(self, scaling_factors, gate_weights, sigma) -> None:
+        sf = np.asarray(scaling_factors)
+        gw = np.asarray(gate_weights)
+        s = np.asarray(sigma).reshape(-1)
+        a = self._acc
+        a["scaling_vit_mean"].append(float(sf[:, 0].mean()))
+        a["scaling_unet_mean"].append(float(sf[:, 1].mean()))
+        a["scaling_vit_max"].append(float(sf[:, 0].max()))
+        a["scaling_vit_min"].append(float(sf[:, 0].min()))
+        a["scaling_unet_max"].append(float(sf[:, 1].max()))
+        a["scaling_unet_min"].append(float(sf[:, 1].min()))
+        a["gate_wx"].append(float(gw[:, 0].mean()))
+        a["gate_wa"].append(float(gw[:, 1].mean()))
+        a["noise_level"].append(float(s.mean()))
+        a["noise_level_min"].append(float(s.min()))
+        a["noise_level_max"].append(float(s.max()))
+        a["noise_level_std"].append(float(s.std()))
+
+    # -- gradient stream -----------------------------------------------------
+
+    def log_gradients(self, step: int, metrics: Dict[str, Any]) -> None:
+        """Write per-component grad norms computed inside the jitted step
+        (train_step._component_grad_norms), keeping the reference's record
+        shape ``{name}_grad_norm``."""
+        if step % self.log_interval != 0:
+            return
+        record = {"step": int(step)}
+        for k, v in metrics.items():
+            if k.endswith("_grad_norm"):
+                record[k] = _to_float(v)
+        if len(record) > 1:
+            self._write(self.gradient_log_file, record)
+
+    # -- weight stream -------------------------------------------------------
+
+    def log_weight_statistics(self, step: int, params) -> None:
+        """Mean/std/min/max for the expert banks every 50*log_interval steps
+        (graphs/logger.py:267-326), computed with one device reduction."""
+        if step % (self.log_interval * 50) != 0:
+            return
+        net = params.get("net", params)
+        record = {"step": int(step)}
+        for log_name, key in (("Unet_experts", "unet_experts"), ("VIT_experts", "vit_experts")):
+            if key not in net:
+                continue
+            leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(net[key]) if np.ndim(l) > 1]
+            if not leaves:
+                record[f"{log_name}_weight_mean"] = None
+                continue
+            count = sum(l.size for l in leaves)
+            total = sum(float(l.sum()) for l in leaves)
+            sq = sum(float(np.square(l, dtype=np.float64).sum()) for l in leaves)
+            mean = total / count
+            var = max(sq / count - mean**2, 0.0)
+            record[f"{log_name}_weight_mean"] = round(mean, 6)
+            record[f"{log_name}_weight_std"] = round(math.sqrt(var), 6)
+            record[f"{log_name}_weight_max"] = round(max(float(l.max()) for l in leaves), 6)
+            record[f"{log_name}_weight_min"] = round(min(float(l.min()) for l in leaves), 6)
+        self._write(self.weight_log_file, record)
+
+    # -- internals -----------------------------------------------------------
+
+    def _flush_training(self) -> None:
+        record = {"step": int(self._acc["step"][-1])}
+        for key, vals in self._acc.items():
+            if key == "step" or not vals:
+                continue
+            record[key] = round(float(np.mean(vals)), 6)
+        self._write(self.main_log_file, record)
+        self._acc.clear()
+
+    @staticmethod
+    def _write(path: Path, record: Dict[str, Any]) -> None:
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")

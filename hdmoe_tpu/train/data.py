@@ -1,0 +1,160 @@
+"""Data pipeline: dataset sources + async host->device prefetch.
+
+Re-design of reference ``get_dataloader`` (Utils/training.py:226-239 —
+torchvision Flowers102 train+val, resized, normalized, shuffled, drop-last).
+TPU-first differences:
+
+- batches are uint8 NHWC on the host and transferred once per step (the VAE
+  adapter handles [0,255] -> latent); no per-sample Python transforms in the
+  hot loop.
+- a background prefetch thread overlaps host batch assembly + H2D transfer
+  with device compute (double buffering).
+- hermetic sources: ``synthetic_flowers`` needs no network/disk; torchvision
+  datasets are gated on local availability (zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def synthetic_flowers(resolution: int = 256, seed: int = 0) -> "np.ndarray":
+    """Procedural 'flower' image factory (deterministic, no I/O).
+
+    Generates radially-symmetric petal patterns with random color palettes —
+    enough visual/statistical structure (smooth regions, edges, color
+    variety) to exercise the full VAE -> diffusion -> sampling stack
+    hermetically.
+    """
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:resolution, 0:resolution].astype(np.float32)
+    cx = cy = resolution / 2.0
+    r = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2) / (resolution / 2.0)
+    theta = np.arctan2(yy - cy, xx - cx)
+
+    def make_one(k: int) -> np.ndarray:
+        rs = np.random.RandomState(seed * 100003 + k)
+        n_petals = rs.randint(4, 9)
+        phase = rs.uniform(0, 2 * np.pi)
+        petal = 0.55 + 0.35 * np.cos(n_petals * theta + phase)
+        flower = np.clip(1.0 - r / np.maximum(petal, 1e-3), 0.0, 1.0) ** 0.7
+        core = np.clip(1.0 - r / 0.18, 0.0, 1.0)
+        fg = rs.uniform(0.3, 1.0, size=3)
+        core_c = rs.uniform(0.5, 1.0, size=3)
+        bg = rs.uniform(0.0, 0.45, size=3)
+        img = (
+            flower[..., None] * fg[None, None]
+            + core[..., None] * core_c[None, None]
+            + (1.0 - flower[..., None]) * bg[None, None]
+        )
+        noise = rs.randn(resolution, resolution, 3).astype(np.float32) * 0.02
+        return (np.clip(img + noise, 0, 1) * 255).astype(np.uint8)
+
+    return make_one
+
+
+class SyntheticDataset:
+    """Infinite deterministic image stream with a fixed virtual epoch size."""
+
+    def __init__(self, resolution: int = 256, size: int = 2048, seed: int = 0):
+        self.resolution = resolution
+        self.size = size
+        self._factory = synthetic_flowers(resolution, seed)
+        self._cache: dict = {}
+
+    def __len__(self):
+        return self.size
+
+    def get(self, idx: int) -> np.ndarray:
+        idx = idx % self.size
+        if idx not in self._cache:
+            if len(self._cache) > 4096:
+                self._cache.clear()
+            self._cache[idx] = self._factory(idx)
+        return self._cache[idx]
+
+
+def torchvision_dataset(name: str, root: str, resolution: int):
+    """Flowers-102 / CIFAR-10 via torchvision from a LOCAL root (no download;
+    raises if absent — this environment has zero egress)."""
+    from torchvision import datasets, transforms  # CPU torch is baked in
+
+    tx = transforms.Compose([transforms.Resize((resolution, resolution))])
+    if name == "flowers102":
+        train = datasets.Flowers102(root=root, split="train", download=False, transform=tx)
+        val = datasets.Flowers102(root=root, split="val", download=False, transform=tx)
+        pairs = [train, val]
+    elif name == "cifar10":
+        pairs = [datasets.CIFAR10(root=root, train=True, download=False, transform=tx)]
+    else:
+        raise ValueError(name)
+
+    class _Wrap:
+        def __init__(self, ds_list):
+            self.ds = ds_list
+            self.lens = [len(d) for d in ds_list]
+            self.size = sum(self.lens)
+            self.resolution = resolution
+
+        def __len__(self):
+            return self.size
+
+        def get(self, idx):
+            idx = idx % self.size
+            for d, n in zip(self.ds, self.lens):
+                if idx < n:
+                    img, _ = d[idx]
+                    return np.asarray(img, dtype=np.uint8)
+                idx -= n
+            raise IndexError
+
+    return _Wrap(pairs)
+
+
+def make_dataset(name: str = "synthetic", resolution: int = 256, root: str = "./data", seed: int = 0):
+    if name == "synthetic":
+        return SyntheticDataset(resolution=resolution, seed=seed)
+    return torchvision_dataset(name, root, resolution)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> Iterator[np.ndarray]:
+    """Infinite epoch-shuffled uint8 NHWC batch stream (drop-last)."""
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            yield np.stack([dataset.get(int(i)) for i in idx])
+
+
+def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> Iterator[jax.Array]:
+    """Background-thread prefetch + H2D transfer (double buffering)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    dev = device or jax.devices()[0]
+    stop = object()
+
+    def worker():
+        try:
+            for batch in it:
+                q.put(jax.device_put(batch, dev))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

@@ -1,0 +1,185 @@
+"""End-to-end training entry: the TPU-native ``training_HDMOE``.
+
+Re-design of reference Utils/training.py:14-223. The same pipeline —
+data -> frozen VAE encode -> hybrid sigma draw -> noising -> zeta/mask
+schedules -> HDMOEM forward -> EDM loss -> multi-group AdamW -> telemetry ->
+checkpoints — but arranged TPU-first:
+
+- the whole optimizer step is ONE jitted (optionally pjit-sharded) program
+  (train_step.py); the host loop only feeds batches and drains telemetry.
+- the fixed-prompt CLIP embedding is computed ONCE and reused (the reference
+  re-encodes the same prompt every step, training.py:143).
+- frozen VAE encode is a jitted inference graph on device.
+- checkpointing is orbax save/RESUME (the reference cannot resume).
+
+Reference bugs fixed, not copied (SURVEY.md §7): the ``model.net.routers``
+optimizer group AttributeError and the silently-untrained parameter groups
+(see train/optim.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hdmoe_tpu.adapters import make_text_encoder, make_vae
+from hdmoe_tpu.models.configs import HDMOEMConfig, config_from_dict
+from hdmoe_tpu.models.hdmoem import precond_init
+from hdmoe_tpu.obs.logger import Logger
+from hdmoe_tpu.obs.profiling import StepTimer
+from hdmoe_tpu.parallel import MeshConfig, make_mesh, make_sharded_train_step, shard_train_state
+from hdmoe_tpu.train.checkpoint import CheckpointManager
+from hdmoe_tpu.train.data import batch_iterator, make_dataset, prefetch_to_device
+from hdmoe_tpu.train.loss import EDMLossConfig
+from hdmoe_tpu.train.optim import OptimConfig, current_lrs
+from hdmoe_tpu.train.schedulers import MaskGenerator, ZetaSchedule
+from hdmoe_tpu.train.train_step import TrainConfig, init_train_state, make_train_step
+
+
+@dataclass
+class RunConfig:
+    """Host-level run settings (reference model_configs keys not owned by the
+    model itself: Utils/configs.py:4-34)."""
+
+    save_dir: str = "./checkpoints/run"
+    log_dir: str = "./logs"
+    run_name: str = "hdmoem_run"
+    batch_size: int = 32
+    total_steps: int = 5000
+    save_interval: int = 1000
+    log_interval: int = 10
+    data_img_res: int = 256
+    dataset: str = "synthetic"  # synthetic | flowers102 | cifar10
+    data_root: str = "./data"
+    fixed_prompt: str = "a photo of a flower"
+    vae: str = "fake"  # fake | real | auto
+    text_encoder: str = "fake"
+    seed: int = 0
+    resume: bool = False
+    mesh: Optional[MeshConfig] = None  # None => single device
+    print_interval: int = 100
+
+
+def training_hdmoe(
+    model_cfg: HDMOEMConfig,
+    optim_cfg: OptimConfig,
+    loss_cfg: EDMLossConfig,
+    mask_cfg: Dict[str, Any],
+    zeta_cfg: Dict[str, Any],
+    run_cfg: Optional[RunConfig] = None,
+) -> Dict[str, float]:
+    """Train HDMOEM end-to-end; returns final metrics.
+
+    Signature mirrors the reference entry
+    ``training_HDMOE(model_config, Optim_config, loss_config, mask_config,
+    zeta_config)`` (training.py:14-19) with dataclass/dict configs.
+    """
+    run = run_cfg or RunConfig()
+    key = jax.random.PRNGKey(run.seed)
+
+    # ---- data + frozen encoders -------------------------------------------
+    dataset = make_dataset(run.dataset, resolution=run.data_img_res, root=run.data_root, seed=run.seed)
+    batches = batch_iterator(dataset, run.batch_size, seed=run.seed)
+    vae = make_vae(run.vae, target_std=model_cfg.sigma_data)
+    clip = make_text_encoder(run.text_encoder, width=model_cfg.text_emb_dim)
+    encode = jax.jit(lambda px, k: vae.encode(px, k)) if hasattr(vae, "_proj") else vae.encode
+
+    # Fixed prompt embedding: computed once, reused every step.
+    text_emb = None
+    if model_cfg.text_emb_dim > 0:
+        text_emb = clip.encode_text([run.fixed_prompt] * run.batch_size)
+
+    # ---- schedules ---------------------------------------------------------
+    unet_mask_gen = MaskGenerator(
+        expert_attributes=tuple(mask_cfg["unet_attr"]),
+        p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"],
+        bandwidth=mask_cfg["BW"], max_bandwidth=mask_cfg["max_BW"],
+        min_active=mask_cfg["min_active"], total_steps=run.total_steps,
+        step_size=mask_cfg["step_size"], noise_range=tuple(mask_cfg["unet_noise_range"]),
+        strat_band=mask_cfg["strat_band"],
+    )
+    vit_mask_gen = MaskGenerator(
+        expert_attributes=tuple(mask_cfg["vit_attr"]),
+        p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"],
+        bandwidth=mask_cfg["BW"], max_bandwidth=mask_cfg["max_BW"],
+        min_active=mask_cfg["min_active"], total_steps=run.total_steps,
+        step_size=mask_cfg["step_size"], noise_range=tuple(mask_cfg["vit_noise_range"]),
+        strat_band=mask_cfg["strat_band"],
+    )
+    zeta_sched = ZetaSchedule(
+        total_steps=zeta_cfg["total_schedule_steps"], max_zeta=zeta_cfg["max_zeta"],
+        min_zeta=zeta_cfg["min_zeta"], strategy=zeta_cfg["strategy"],
+        warmup_ratio=zeta_cfg["warmup_ratio"], alpha=zeta_cfg.get("alpha", 4.0),
+    )
+    train_cfg = TrainConfig(p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"],
+                            transition_point=mask_cfg["p_mean"], softness=mask_cfg["p_std"])
+
+    # ---- model + optimizer -------------------------------------------------
+    key, k_init = jax.random.split(key)
+    params = jax.jit(lambda k: precond_init(k, model_cfg))(k_init)
+    state = init_train_state(params, optim_cfg)
+
+    ckpt = CheckpointManager(run.save_dir)
+    if run.resume and ckpt.latest_step() is not None:
+        state, key, _ = ckpt.restore(state, key)
+        print(f"[resume] restored step {int(state.step)} from {run.save_dir}")
+
+    step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
+                              unet_mask_gen, vit_mask_gen, zeta_sched)
+    if run.mesh is not None:
+        mesh = make_mesh(run.mesh)
+        state = shard_train_state(state, mesh)
+        jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
+    else:
+        jit_step = jax.jit(step_fn, donate_argnums=0)
+
+    logger = Logger(log_dir=run.log_dir, run_name=run.run_name, log_interval=run.log_interval)
+    timer = StepTimer()
+    configs_blob = {
+        "model_configs": model_cfg, "Optim_config": optim_cfg,
+        "loss_config": loss_cfg, "mask_config": mask_cfg, "zeta_config": zeta_cfg,
+        "run_config": run,
+    }
+
+    # ---- hot loop ----------------------------------------------------------
+    metrics: Dict[str, jnp.ndarray] = {}
+    current_mse = float("inf")
+    start_step = int(state.step)
+    data_it = prefetch_to_device(batches, size=2)
+    for step in range(start_step, run.total_steps):
+        pixels = next(data_it)
+        key, k_enc, k_step = jax.random.split(key, 3)
+        latents = encode(pixels, k_enc)
+        state, metrics, aux = jit_step(state, latents, text_emb, k_step)
+        timer.tick()
+
+        lrs = current_lrs(optim_cfg, step)
+        logger.log_training_step(step, metrics, lr=lrs["unet"],
+                                 p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"])
+        logger.log_router_statistics(step, aux["unet_probs"], aux["vit_probs"], aux["sigma"],
+                                     p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"])
+        logger.log_scaling_gating(aux["scaling_factors"], aux["out_gate"], aux["sigma"])
+        logger.log_gradients(step, metrics)
+        logger.log_weight_statistics(step, state.params)
+        current_mse = float(metrics["denoising"])
+
+        if step % run.print_interval == 0:
+            ips = timer.images_per_sec(run.batch_size)
+            print(
+                f"Step {step}/{run.total_steps} | loss {float(metrics['loss']):.4f} | "
+                f"MSE {current_mse:.4f} | z {float(metrics['z_loss']):.4f} | "
+                f"bal {float(metrics['balance']):.4f} | pure {float(metrics['pure_loss']):.4f} | "
+                f"logvar {float(metrics['log_var']):.3f}"
+                + (f" | {ips:.1f} img/s" if ips else "")
+            )
+        if run.save_interval and step > 0 and step % run.save_interval == 0:
+            ckpt.save(state, key, mse=current_mse, configs=configs_blob)
+
+    ckpt.save(state, key, mse=current_mse, configs=configs_blob)
+    ckpt.close()
+    print("Training Complete.")
+    return {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}

@@ -1,0 +1,216 @@
+"""Blocked (flash) attention Pallas TPU kernel with optional additive bias.
+
+The memory-bound core of MP attention (ops/attention.py): computes
+``softmax(Q K^T / sqrt(d) + bias) V`` without materializing the (Lq, Lk)
+score matrix in HBM — scores live in VMEM one (block_q, block_k) tile at a
+time with the standard online-softmax recurrence (running max m, running
+denominator l, rescaled accumulator).
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+- grid = (B*H, Lq/block_q, Lk/block_k); the kv axis is the innermost grid
+  dimension so the VMEM scratch (m, l, acc) carries across kv blocks of one
+  (bh, q-block) and resets at j == 0.
+- bias is a separate kernel variant — a bias-free call moves zero extra HBM
+  bytes (an explicit zero-bias operand would add O(Lq*Lk) traffic and
+  dominate at long sequence).
+- kv padding (Lk not a block multiple) is masked in-kernel with an iota
+  compare, not a bias tensor.
+- head_dim pads to the 128 lane width only when smaller; fp32 accumulation
+  regardless of input dtype.
+
+Differentiation: ``flash_attention`` carries a custom VJP whose backward
+pass recomputes attention with plain XLA ops (identical math) and
+differentiates that — the forward gets the fused kernel, the backward stays
+exact; a hand-written backward kernel lands with the training-path
+optimization pass.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _attention_reference(q, k, v, bias):
+    """XLA reference: identical math, used for the VJP and numerics tests."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(d)
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _kernel_body(s, v, j, nk, o_ref, m_scr, l_scr, acc_scr, kv_len, block_k):
+    """Shared online-softmax update given the (block_q, block_k) scores."""
+    # Mask kv padding on the last block.
+    if kv_len % block_k != 0:
+        valid = kv_len - j * block_k  # traced
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid, s, _NEG_INF)
+
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    m_scr[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+
+
+def _make_kernel(sm_scale, kv_len, block_k, with_bias):
+    def kernel(*refs):
+        if with_bias:
+            q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        j = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        if with_bias:
+            s = s + bias_ref[0].astype(jnp.float32)
+        _kernel_body(s, v, j, nk, o_ref, m_scr, l_scr, acc_scr, kv_len, block_k)
+
+    return kernel
+
+
+def _pad_axis(x, axis, mult):
+    size = x.shape[axis]
+    pad = (mult - size % mult) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    # Lane-width padding for tiny head dims (zero columns are inert).
+    if d < 128:
+        dp = 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    else:
+        dp = d
+
+    block_q = max(8, min(block_q, lq))
+    block_k = max(8, min(block_k, lk))
+    q = _pad_axis(q, 2, block_q)
+    k = _pad_axis(k, 2, block_k)
+    v = _pad_axis(v, 2, block_k)
+    lqp, lkp = q.shape[2], k.shape[2]
+
+    bh = b * h
+    qr = q.reshape(bh, lqp, dp)
+    kr = k.reshape(bh, lkp, dp)
+    vr = v.reshape(bh, lkp, dp)
+
+    grid = (bh, lqp // block_q, lkp // block_k)
+    with_bias = bias is not None
+    kernel = _make_kernel(sm_scale, lk, block_k, with_bias)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda bhi, i, j: (bhi, i, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda bhi, i, j: (bhi, j, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda bhi, i, j: (bhi, j, 0)),
+    ]
+    operands = [qr, kr, vr]
+    if with_bias:
+        bias_h = bias.shape[0]
+        bias_p = _pad_axis(_pad_axis(bias.astype(jnp.float32), 1, block_q), 2, block_k)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, block_k),
+                (lambda bhi, i, j: (bhi % bias_h, i, j)) if bias_h > 1 else (lambda bhi, i, j: (0, i, j)),
+            )
+        )
+        operands.append(bias_p)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda bhi, i, j: (bhi, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    return out.reshape(b, h, lqp, dp)[:, :, :lq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v, bias = residuals
+    has_bias = bias is not None
+
+    def ref(q_, k_, v_, b_):
+        return _attention_reference(q_, k_, v_, b_ if has_bias else None)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, (dbias if has_bias else None)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """softmax(Q K^T / sqrt(d) + bias) V with online softmax on TPU.
+
+    q: (B, H, Lq, D); k/v: (B, H, Lk, D); bias: (H, Lq, Lk) or None.
+    ``interpret=None`` auto-selects interpreter mode off-TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash(q, k, v, bias, block_q, block_k, interpret)

@@ -1,0 +1,86 @@
+"""Flash-attention kernel tests (interpret mode on CPU) against the XLA
+reference, including bias, padding, and gradient paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hdmoe_tpu.ops.pallas.flash_attention import _attention_reference, flash_attention
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _qkv(b=2, h=2, lq=64, lk=64, d=8):
+    ks = jax.random.split(KEY, 3)
+    q = jax.random.normal(ks[0], (b, h, lq, d))
+    k = jax.random.normal(ks[1], (b, h, lk, d))
+    v = jax.random.normal(ks[2], (b, h, lk, d))
+    return q, k, v
+
+
+def test_matches_reference_no_bias():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _attention_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_matches_reference_with_bias():
+    q, k, v = _qkv(lq=32, lk=32)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32))
+    out = flash_attention(q, k, v, bias, interpret=True)
+    ref = _attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_unaligned_seq_and_cross_shape():
+    # 77-token kv (CLIP text) against 100-token queries: exercises seq padding.
+    q, k, v = _qkv(lq=100, lk=77, d=4)
+    out = flash_attention(q, k, v, interpret=True, block_q=32, block_k=32)
+    ref = _attention_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_multiple_kv_blocks_online_softmax():
+    q, k, v = _qkv(lq=32, lk=256, d=8)
+    out = flash_attention(q, k, v, interpret=True, block_q=32, block_k=64)
+    ref = _attention_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_extreme_logits_stable():
+    q, k, v = _qkv(lq=16, lk=64, d=8)
+    q = q * 30.0  # large logits stress the online softmax
+    out = flash_attention(q, k, v, interpret=True, block_q=16, block_k=16)
+    ref = _attention_reference(q, k, v, None)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_reference():
+    q, k, v = _qkv(lq=32, lk=32, d=8)
+    bias = jax.random.normal(jax.random.PRNGKey(8), (2, 32, 32))
+
+    def f_flash(q, k, v, b):
+        return jnp.sum(flash_attention(q, k, v, b, interpret=True) ** 2)
+
+    def f_ref(q, k, v, b):
+        return jnp.sum(_attention_reference(q, k, v, b) ** 2)
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
+
+
+def test_mp_attention_use_flash_parity():
+    """mp_attention_apply(use_flash=True) must match the pure-XLA path."""
+    from hdmoe_tpu.ops.attention import mp_attention_apply, mp_attention_init
+
+    params = mp_attention_init(KEY, num_heads=4, emb_dim=32, seq_ln=64, time_dim=16)
+    seq = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32))
+    t = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    ref = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=False)
+    out = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)

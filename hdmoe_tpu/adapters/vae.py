@@ -87,6 +87,31 @@ class FakeVAE:
         return jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
 
+class IdentityVAE:
+    """Pixel-space passthrough 'VAE' for non-latent configs (CIFAR-10 /
+    64x64 pixel diffusion): encode maps uint8 [0,255] to zero-centered
+    floats scaled so natural-image content lands near std=target_std; decode
+    inverts. No spatial change, channels preserved.
+    """
+
+    downsample = 1
+
+    def __init__(self, target_std: float = 0.5):
+        self.target_std = target_std
+        self._scale = target_std / 0.5
+
+    def init(self, device=None):
+        return self
+
+    def encode(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        del key
+        return (x.astype(jnp.float32) / 127.5 - 1.0) * self._scale
+
+    def decode(self, lat: jnp.ndarray) -> jnp.ndarray:
+        x = lat / self._scale
+        return jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
 class StabilityVAE:
     """Frozen diffusers Flax SD-VAE (stabilityai/sd-vae-ft-mse) as an XLA
     inference graph. Matches reference VAE_CLIP.py:7-88 numerics: encode
@@ -145,7 +170,10 @@ class StabilityVAE:
 
 
 def make_vae(kind: str = "auto", target_std: float = 0.5, **kw):
-    """'real' | 'fake' | 'auto' (real if weights load, else fake)."""
+    """'real' | 'fake' | 'none' (pixel passthrough) | 'auto' (real if
+    weights load, else fake)."""
+    if kind == "none":
+        return IdentityVAE(target_std=target_std)
     if kind == "fake":
         return FakeVAE(target_std=target_std, **kw)
     if kind == "real":

@@ -41,6 +41,21 @@ class HDMOEMConfig:
     dispatch: str = "dense"  # "dense" | "capacity"
     capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
     use_flash: bool = False  # Pallas flash-attention core on TPU
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" activation dtype
+    # "heterogeneous": per-expert kernel/patch sizes, separate compile units
+    #   (the reference architecture).
+    # "stacked": identical experts stacked on a leading axis -> true expert
+    #   parallelism over the mesh "expert" axis (64-expert stretch config).
+    expert_sharing: str = "heterogeneous"
+
+    def __post_init__(self):
+        if self.expert_sharing == "stacked":
+            assert len(set(self.unet_kernel_sizes)) == 1, (
+                "stacked expert banks need identical U-Net kernel sizes"
+            )
+            assert len(set(self.vit_patch_sizes)) == 1, (
+                "stacked expert banks need identical ViT patch sizes"
+            )
 
     def capacity(self, batch_size: int) -> int:
         import math

@@ -64,6 +64,18 @@ def _vit_expert_cfg(cfg: HDMOEMConfig, i: int) -> comp.VitExpertCfg:
     )
 
 
+def _init_experts(cfg: HDMOEMConfig, key: jax.Array, init_fn, cfg_fn):
+    """Heterogeneous pools are lists of separate trees; stacked banks are one
+    vmapped tree under "stacked_experts" (sharded over the expert mesh axis)."""
+    if cfg.expert_sharing == "stacked":
+        from hdmoe_tpu.models.moe_stacked import stacked_expert_init
+
+        ecfg = cfg_fn(cfg, 0)
+        return {"stacked_experts": stacked_expert_init(key, cfg.num_experts, lambda k: init_fn(k, ecfg))}
+    keys = jax.random.split(key, cfg.num_experts)
+    return [init_fn(keys[i], cfg_fn(cfg, i)) for i in range(cfg.num_experts)]
+
+
 def hdmoem_init(key: jax.Array, cfg: HDMOEMConfig) -> dict:
     """Initialize the dual-path MoE denoiser (HDMOEM.__init__, model_config2.py:74-204)."""
     keys = jax.random.split(key, 12 + 2 * cfg.num_experts)
@@ -76,8 +88,8 @@ def hdmoem_init(key: jax.Array, cfg: HDMOEMConfig) -> dict:
         "unet_router": comp.router_init(next(ki), cfg.internal_channels, cfg.time_emb_dim, cfg.num_experts),
         "vit_router": comp.router_init(next(ki), cfg.internal_channels, cfg.time_emb_dim, cfg.num_experts),
         "alpha_txt": jnp.zeros([], dtype=jnp.float32),
-        "unet_experts": [unet_p for unet_p in (comp.unet_expert_init(next(ki), _unet_expert_cfg(cfg, i)) for i in range(cfg.num_experts))],
-        "vit_experts": [vit_p for vit_p in (comp.vit_expert_init(next(ki), _vit_expert_cfg(cfg, i)) for i in range(cfg.num_experts))],
+        "unet_experts": _init_experts(cfg, next(ki), comp.unet_expert_init, _unet_expert_cfg),
+        "vit_experts": _init_experts(cfg, next(ki), comp.vit_expert_init, _vit_expert_cfg),
         "cross_attn": mp_attention_init(
             next(ki),
             cfg.vit_num_heads,
@@ -138,7 +150,14 @@ def hdmoem_apply(
     b, h, w, c = x.shape
     keys = jax.random.split(key, 5) if (train and key is not None) else [None] * 5
 
-    time_embed = mp.mp_fourier_apply(params["fourier"], time_vec)
+    # Mixed precision: activations in compute_dtype (params stay fp32 and are
+    # cast at use inside mp_conv_apply); router logits/softmaxes stay fp32.
+    cdt = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(cdt)
+    if text_emb is not None:
+        text_emb = text_emb.astype(cdt)
+
+    time_embed = mp.mp_fourier_apply(params["fourier"], time_vec.astype(cdt))
     time_embed = mp.mp_conv_apply(params["out_fourier1"], time_embed)
     time_embed = mp.mp_conv_apply(params["out_fourier2"], mp.mp_silu(time_embed))
     x_feats = mp.mp_conv_apply(params["input_proj"], x)
@@ -168,21 +187,36 @@ def hdmoem_apply(
         top_k=cfg.top_k, train=train, key=keys[2],
     )
 
-    unet_fns = [
-        partial(_unet_fn, params["unet_experts"][i], _unet_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
-    ]
-    vit_fns = [
-        partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
-    ]
-    capacity = cfg.capacity(b) if cfg.dispatch == "capacity" else None
-    out_unet_expert = moe.moe_dispatch(
-        in_unet_router, unet_fns, out_unet_router, time_embed, text_emb,
-        mode=cfg.dispatch, capacity=capacity, train=train, key=keys[3],
-    )
-    out_vit_expert = moe.moe_dispatch(
-        in_vit_router, vit_fns, out_vit_router, time_embed, text_emb,
-        mode=cfg.dispatch, capacity=capacity, train=train, key=keys[4],
-    )
+    if cfg.expert_sharing == "stacked":
+        from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
+
+        cap = cfg.capacity(b)
+        out_unet_expert = moe_dispatch_stacked(
+            in_unet_router, params["unet_experts"]["stacked_experts"],
+            partial(_stacked_unet_fn, ecfg=_unet_expert_cfg(cfg, 0)),
+            out_unet_router, time_embed, text_emb, capacity=cap, train=train, key=keys[3],
+        )
+        out_vit_expert = moe_dispatch_stacked(
+            in_vit_router, params["vit_experts"]["stacked_experts"],
+            partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
+            out_vit_router, time_embed, text_emb, capacity=cap, train=train, key=keys[4],
+        )
+    else:
+        unet_fns = [
+            partial(_unet_fn, params["unet_experts"][i], _unet_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
+        ]
+        vit_fns = [
+            partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
+        ]
+        capacity = cfg.capacity(b) if cfg.dispatch == "capacity" else None
+        out_unet_expert = moe.moe_dispatch(
+            in_unet_router, unet_fns, out_unet_router, time_embed, text_emb,
+            mode=cfg.dispatch, capacity=capacity, train=train, key=keys[3],
+        )
+        out_vit_expert = moe.moe_dispatch(
+            in_vit_router, vit_fns, out_vit_router, time_embed, text_emb,
+            mode=cfg.dispatch, capacity=capacity, train=train, key=keys[4],
+        )
 
     out_unet_flat = out_unet_expert.reshape(b, h * w, cfg.internal_channels)
     out_vit_flat = out_vit_expert.reshape(b, h * w, cfg.internal_channels)
@@ -227,6 +261,14 @@ def _unet_fn(p, ecfg, x, time_emb, text_emb, *, train, key):
 
 
 def _vit_fn(p, ecfg, x, time_emb, text_emb, *, train, key):
+    return comp.vit_expert_apply(p, ecfg, x, time_emb, text_emb, train=train, key=key)
+
+
+def _stacked_unet_fn(p, x, time_emb, text_emb, *, ecfg, train, key):
+    return comp.unet_expert_apply(p, ecfg, x, time_emb, text_emb, train=train, key=key)
+
+
+def _stacked_vit_fn(p, x, time_emb, text_emb, *, ecfg, train, key):
     return comp.vit_expert_apply(p, ecfg, x, time_emb, text_emb, train=train, key=key)
 
 
@@ -289,7 +331,8 @@ def precond_apply(
         transition_point=transition_point, softness=softness, alpha_routing=alpha_routing,
         train=train, key=key,
     )
-    d_x = c_skip.astype(x.dtype) * x + c_out.astype(x.dtype) * out_net
+    # Skip/output recombination always in fp32 (the ODE math depends on it).
+    d_x = c_skip * x.astype(jnp.float32) + c_out * out_net.astype(jnp.float32)
     log_var = None
     if return_log_var:
         log_var = mp.mp_conv_apply(

@@ -1,0 +1,102 @@
+"""Stacked (weight-banked) MoE with true expert parallelism.
+
+The heterogeneous expert pools (different kernel/patch sizes per expert,
+models/components.py) are separate compile units — right for the flagship
+4+4-expert config, but they cannot scale to the 64-expert stretch config
+(BASELINE.md: "64 experts sharded across a v5e-16 slice with all-to-all
+expert parallelism"). This module adds the TPU-native scalable form:
+
+- expert weights are STACKED with a leading expert axis (``vmap`` over
+  init), stored under the ``"stacked_experts"`` key that
+  parallel/sharding.py maps to the ``expert`` mesh axis;
+- dispatch gathers each expert's top-``capacity`` routed samples into an
+  (E, C, ...) bank batch, runs ONE vmapped expert computation (a single
+  XLA program whose leading axis GSPMD partitions across expert devices —
+  the gather/scatter lower to all-to-all collectives over ICI);
+- combine scatter-adds the gate-weighted outputs back to batch order.
+
+Semantics match models/moe.py's capacity dispatch: with capacity >= B no
+sample is dropped; smaller capacities trade exactness for FLOPs like any
+capacity-based MoE.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stacked_expert_init(key: jax.Array, num_experts: int, init_fn: Callable[[jax.Array], Any]):
+    """Initialize E experts of identical architecture as one stacked pytree
+    (every leaf gains a leading expert axis)."""
+    keys = jax.random.split(key, num_experts)
+    return jax.vmap(init_fn)(keys)
+
+
+def expert_assignment(gate_weights: jnp.ndarray, capacity: int):
+    """Build (E, C) dispatch indices + validity from a sparse gate (B, E).
+
+    For every expert, routed samples (gate > 0) are ranked by batch position
+    and the first ``capacity`` selected; unrouted slots point at sample 0
+    with ``valid=False`` (their contribution is zeroed in combine).
+    """
+    b, e = gate_weights.shape
+    sel = (gate_weights > 0).T  # (E, B)
+    rank = jnp.where(sel, jnp.arange(b)[None, :], b)
+    idx = jnp.argsort(rank, axis=1)[:, :capacity]  # (E, C)
+    valid = jnp.take_along_axis(sel, idx, axis=1)  # (E, C)
+    weights = jnp.take_along_axis(gate_weights.T, idx, axis=1)
+    weights = jnp.where(valid, weights, 0.0)
+    return idx, weights
+
+
+def moe_dispatch_stacked(
+    x: jnp.ndarray,
+    stacked_params: Any,
+    apply_fn: Callable[..., jnp.ndarray],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    capacity: int,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Gather -> one vmapped expert bank -> weighted scatter combine.
+
+    ``apply_fn(params_e, x_c, time_c, text_c, train=..., key=...)`` is the
+    single-expert forward; it is vmapped over the leading expert axis of
+    ``stacked_params`` and the gathered (E, C, ...) batches.
+    """
+    b = x.shape[0]
+    e = gate_weights.shape[1]
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+
+    idx, weights = expert_assignment(gate_weights.astype(jnp.float32), capacity)
+
+    xg = x[idx]  # (E, C, H, W, Cin) — all-to-all under expert sharding
+    tg = time_emb[idx]
+    txg = text_emb[idx] if text_emb is not None else None
+
+    if train and key is not None:
+        expert_keys = jax.random.split(key, e)
+    else:
+        expert_keys = None
+
+    def one_expert(params_e, x_c, t_c, tx_c, k_e):
+        return apply_fn(params_e, x_c, t_c, tx_c, train=train, key=k_e)
+
+    if expert_keys is not None:
+        out_e = jax.vmap(one_expert)(stacked_params, xg, tg, txg, expert_keys)
+    else:
+        out_e = jax.vmap(lambda p, xc, tc, txc: one_expert(p, xc, tc, txc, None))(
+            stacked_params, xg, tg, txg
+        )
+
+    w = weights.astype(x.dtype)[..., None, None, None]  # (E, C, 1, 1, 1)
+    flat_idx = idx.reshape(-1)
+    contrib = (out_e * w).reshape(e * capacity, *x.shape[1:])
+    return jnp.zeros_like(x).at[flat_idx].add(contrib)

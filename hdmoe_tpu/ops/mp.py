@@ -259,8 +259,11 @@ def group_norm_apply(
     """GroupNorm with torch semantics: stats per (batch, group) over the group's
     channels and all non-batch spatial dims; affine per channel.
 
-    ``channel_axis=-1`` for NHWC / (B, L, C) activations.
+    ``channel_axis=-1`` for NHWC / (B, L, C) activations. Stats in float32;
+    output keeps the input dtype (mixed-precision safe).
     """
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
     ca = channel_axis % x.ndim
     c = x.shape[ca]
     g = num_groups
@@ -276,7 +279,7 @@ def group_norm_apply(
     xt = (xt - mean) * lax.rsqrt(var + eps)
     xt = xt.reshape(b, *lead[1:], c)
     xt = xt * params["scale"] + params["bias"]
-    return xt.transpose(inv_perm)
+    return xt.transpose(inv_perm).astype(orig_dtype)
 
 
 def layer_norm_init(dim: int) -> dict:
@@ -287,7 +290,9 @@ def layer_norm_init(dim: int) -> dict:
 
 
 def layer_norm_apply(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    mean = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * lax.rsqrt(var + eps)
-    return y * params["scale"] + params["bias"]
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(orig_dtype)

@@ -119,6 +119,12 @@ def torchvision_dataset(name: str, root: str, resolution: int):
 def make_dataset(name: str = "synthetic", resolution: int = 256, root: str = "./data", seed: int = 0):
     if name == "synthetic":
         return SyntheticDataset(resolution=resolution, seed=seed)
+    if name == "synthetic-native":
+        from hdmoe_tpu.train.native_data import NativeSyntheticDataset, native_available
+
+        if native_available():
+            return NativeSyntheticDataset(resolution=resolution, seed=seed)
+        return SyntheticDataset(resolution=resolution, seed=seed)
     return torchvision_dataset(name, root, resolution)
 
 
@@ -135,7 +141,10 @@ def batch_iterator(
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
-            yield np.stack([dataset.get(int(i)) for i in idx])
+            if hasattr(dataset, "get_batch"):
+                yield dataset.get_batch(idx)
+            else:
+                yield np.stack([dataset.get(int(i)) for i in idx])
 
 
 def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> Iterator[jax.Array]:

@@ -108,6 +108,11 @@ def project_mp_weights(params):
 
     def project(path, leaf):
         if path and getattr(path[-1], "key", None) == "mpw":
+            keys = [getattr(p, "key", None) for p in path]
+            if "stacked_experts" in keys:
+                # stacked banks carry a leading expert axis: per-expert,
+                # per-out-channel normalization reduces dims 2..n
+                return mp.normalize(leaf, axis=tuple(range(2, leaf.ndim)))
             return mp.normalize(leaf)
         return leaf
 

@@ -62,6 +62,7 @@ class RunConfig:
     resume: bool = False
     mesh: Optional[MeshConfig] = None  # None => single device
     print_interval: int = 100
+    ema_decay: float = 0.0  # 0 disables EMA; e.g. 0.9999 enables
 
 
 def training_hdmoe(
@@ -130,15 +131,26 @@ def training_hdmoe(
 
     step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
                               unet_mask_gen, vit_mask_gen, zeta_sched)
+    data_target = None  # where host batches land (single device or mesh-sharded)
     if run.mesh is not None:
+        from hdmoe_tpu.parallel.sharding import batch_sharding
+
         mesh = make_mesh(run.mesh)
         state = shard_train_state(state, mesh)
         jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
+        data_target = batch_sharding(mesh, 4)
+        if text_emb is not None:
+            text_emb = jax.device_put(text_emb, batch_sharding(mesh, text_emb.ndim))
     else:
         jit_step = jax.jit(step_fn, donate_argnums=0)
 
     logger = Logger(log_dir=run.log_dir, run_name=run.run_name, log_interval=run.log_interval)
     timer = StepTimer()
+    ema = None
+    if run.ema_decay > 0.0:
+        from hdmoe_tpu.train.ema import EmaTracker
+
+        ema = EmaTracker(state.params, decay=run.ema_decay)
     configs_blob = {
         "model_configs": model_cfg, "Optim_config": optim_cfg,
         "loss_config": loss_cfg, "mask_config": mask_cfg, "zeta_config": zeta_cfg,
@@ -149,12 +161,14 @@ def training_hdmoe(
     metrics: Dict[str, jnp.ndarray] = {}
     current_mse = float("inf")
     start_step = int(state.step)
-    data_it = prefetch_to_device(batches, size=2)
+    data_it = prefetch_to_device(batches, size=2, device=data_target)
     for step in range(start_step, run.total_steps):
         pixels = next(data_it)
         key, k_enc, k_step = jax.random.split(key, 3)
         latents = encode(pixels, k_enc)
         state, metrics, aux = jit_step(state, latents, text_emb, k_step)
+        if ema is not None:
+            ema.update(state.params, step)
         timer.tick()
 
         lrs = current_lrs(optim_cfg, step)
@@ -181,5 +195,9 @@ def training_hdmoe(
 
     ckpt.save(state, key, mse=current_mse, configs=configs_blob)
     ckpt.close()
+    if ema is not None:
+        ema_ckpt = CheckpointManager(str(run.save_dir) + "_ema")
+        ema_ckpt.save(state._replace(params=ema.ema_params), key, mse=current_mse)
+        ema_ckpt.close()
     print("Training Complete.")
     return {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}

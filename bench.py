@@ -26,12 +26,13 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 1.0
-BATCH = 32
+BATCH = 64
 HEUN_STEPS = 18  # 2*18-1 = 35 NFE
 
 
-def _measure(cfg, params, text, noise, n_runs=3):
+def _measure(cfg, params, text, noise, n_runs=3, folded=False):
     from hdmoe_tpu.models import precond_apply
+    from hdmoe_tpu.ops import mp as mp_ops
     from hdmoe_tpu.sampler import EDMSamplerConfig, edm_sample, make_denoiser
 
     def precond_fn(x, sigma, text_emb, m1, m2, zeta, transition_point, softness):
@@ -40,9 +41,15 @@ def _measure(cfg, params, text, noise, n_runs=3):
             transition_point=transition_point, softness=softness,
         )
 
+    import contextlib
+
     denoiser = make_denoiser(precond_fn, cfg.num_experts, transition_point=-1.2, softness=1.6)
     scfg = EDMSamplerConfig(num_steps=HEUN_STEPS)
-    sample = jax.jit(lambda n: edm_sample(denoiser, n, text, scfg))
+    # folded => weights pre-projected by the caller: trace with
+    # normalize-at-use disabled (ahead-of-time compile pins the trace context)
+    ctx = mp_ops.prenormalized_weights if folded else contextlib.nullcontext
+    with ctx():
+        sample = jax.jit(lambda n: edm_sample(denoiser, n, text, scfg)).lower(noise).compile()
     out = sample(noise)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -52,7 +59,8 @@ def _measure(cfg, params, text, noise, n_runs=3):
     elapsed = (time.perf_counter() - t0) / n_runs
 
     sigma = jnp.full((BATCH, 1, 1, 1), 0.5)
-    fwd = jax.jit(lambda x: denoiser(x, sigma, text))
+    with ctx():
+        fwd = jax.jit(lambda x: denoiser(x, sigma, text)).lower(noise).compile()
     jax.block_until_ready(fwd(noise))
     t0 = time.perf_counter()
     for _ in range(5):
@@ -74,8 +82,12 @@ def main():
 
     parity_ips, parity_ms, _ = _measure(base_cfg, params, text, noise)
 
+    from hdmoe_tpu.train.optim import project_mp_weights
+
     fast_cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=2.0)
-    fast_ips, fast_ms, fast_wall = _measure(fast_cfg, params, text, noise)
+    fast_ips, fast_ms, fast_wall = _measure(
+        fast_cfg, project_mp_weights(params), text, noise, folded=True
+    )
 
     print(
         json.dumps(

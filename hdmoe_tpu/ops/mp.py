@@ -22,12 +22,30 @@ generically.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Trace-time switch: inside ``prenormalized_weights()`` MP convs skip the
+# normalize-at-use step (the caller guarantees weights are already projected,
+# e.g. via train.optim.project_mp_weights before a sampling loop). Saves one
+# reduction per conv per denoiser eval — 35x per sampled image at 35 NFE.
+_WEIGHTS_PRENORMALIZED = False
+
+
+@contextlib.contextmanager
+def prenormalized_weights():
+    global _WEIGHTS_PRENORMALIZED
+    prev = _WEIGHTS_PRENORMALIZED
+    _WEIGHTS_PRENORMALIZED = True
+    try:
+        yield
+    finally:
+        _WEIGHTS_PRENORMALIZED = prev
 
 # ---------------------------------------------------------------------------
 # Stateless magnitude-preserving ops
@@ -206,7 +224,8 @@ def mp_conv_init(key: jax.Array, in_channels: int, out_channels: int, kernel: Tu
 
 def _mp_weight(params: dict, gain) -> jnp.ndarray:
     w = params["mpw"].astype(jnp.float32)
-    w = normalize(w)
+    if not _WEIGHTS_PRENORMALIZED:
+        w = normalize(w)
     fan_in = 1
     for d in w.shape[1:]:
         fan_in *= d

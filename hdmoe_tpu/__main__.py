@@ -1,0 +1,134 @@
+"""Command-line interface: ``python -m hdmoe_tpu <command>``.
+
+The reference's only "CLI" is an ``if __name__ == '__main__'`` block
+(Utils/training.py:347-353); this is the framework-grade replacement.
+
+Commands:
+  train   — run training for a named preset
+  sample  — sample a grid from a checkpoint
+  bench   — the throughput benchmark (same as bench.py)
+  plot    — render analysis dashboards from a run's JSONL logs
+  smoke   — tiny hermetic end-to-end training run
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_train(args):
+    from hdmoe_tpu.train import presets
+    from hdmoe_tpu.train.configs import zeta_configs
+    from hdmoe_tpu.train.train_loop import training_hdmoe
+    from dataclasses import replace
+
+    builder = presets.PRESETS.get(args.preset)
+    if builder is None:
+        sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+    model, optim, loss, mask, run = builder(total_steps=args.steps)
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.resume:
+        overrides["resume"] = True
+    if args.ema_decay:
+        overrides["ema_decay"] = args.ema_decay
+    if overrides:
+        run = replace(run, **overrides)
+    training_hdmoe(model, optim, loss, mask, zeta_configs, run)
+
+
+def _cmd_sample(args):
+    from hdmoe_tpu.models import default_model_config
+    from hdmoe_tpu.sampler.generate import sample_and_save
+
+    if args.preset:
+        from hdmoe_tpu.train import presets
+
+        builder = presets.PRESETS.get(args.preset)
+        if builder is None:
+            sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+        cfg = builder()[0]
+    else:
+        cfg = default_model_config()
+    sample_and_save(
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        out_dir=args.out,
+        batch_size=args.batch_size,
+        num_steps=args.steps,
+        guidance=args.guidance,
+        prompt=args.prompt,
+        vae_kind=args.vae,
+        text_kind=args.text_encoder,
+        seed=args.seed,
+    )
+    print(f"wrote samples to {args.out}")
+
+
+def _cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def _cmd_plot(args):
+    from hdmoe_tpu.obs.plotter import Plotter
+
+    p = Plotter(args.log_dir, args.run_name, out_dir=args.out)
+    outs = p.plot_all()
+    for o in outs:
+        print(f"rendered {o}")
+
+
+def _cmd_smoke(args):
+    from hdmoe_tpu.train.smoke import main as smoke_main
+
+    smoke_main(args.steps)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="hdmoe_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a preset config")
+    p_train.add_argument("preset", help="preset name from hdmoe_tpu.train.presets")
+    p_train.add_argument("--steps", type=int, default=5000)
+    p_train.add_argument("--batch-size", type=int, default=0)
+    p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--ema-decay", type=float, default=0.0)
+    p_train.set_defaults(fn=_cmd_train)
+
+    p_sample = sub.add_parser("sample", help="sample from a checkpoint")
+    p_sample.add_argument("checkpoint", help="checkpoint directory")
+    p_sample.add_argument("--preset", default="", help="model preset the checkpoint was trained with")
+    p_sample.add_argument("--out", default="generated_samples")
+    p_sample.add_argument("--batch-size", type=int, default=16)
+    p_sample.add_argument("--steps", type=int, default=40)
+    p_sample.add_argument("--guidance", type=float, default=1.0)
+    p_sample.add_argument("--prompt", default="a photo of a flower")
+    p_sample.add_argument("--vae", default="fake")
+    p_sample.add_argument("--text-encoder", default="fake")
+    p_sample.add_argument("--seed", type=int, default=0)
+    p_sample.set_defaults(fn=_cmd_sample)
+
+    p_bench = sub.add_parser("bench", help="throughput benchmark")
+    p_bench.set_defaults(fn=_cmd_bench)
+
+    p_plot = sub.add_parser("plot", help="render analysis dashboards")
+    p_plot.add_argument("log_dir")
+    p_plot.add_argument("run_name")
+    p_plot.add_argument("--out", default="analysis_results")
+    p_plot.set_defaults(fn=_cmd_plot)
+
+    p_smoke = sub.add_parser("smoke", help="hermetic end-to-end smoke run")
+    p_smoke.add_argument("--steps", type=int, default=5)
+    p_smoke.set_defaults(fn=_cmd_smoke)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

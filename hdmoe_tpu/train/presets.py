@@ -112,3 +112,12 @@ def moedit_64expert_ep(total_steps: int = 5000, mesh: MeshConfig = MeshConfig(da
     )
     mask = _mask_cfg([3] * 64, [8] * 64)
     return model, optim, loss, mask, run
+
+
+PRESETS = {
+    "cifar10_pixel_config1": cifar10_pixel_config1,
+    "heterogeneous_config2": heterogeneous_config2,
+    "text_guided_64": text_guided_64,
+    "latent_256_clip": latent_256_clip,
+    "moedit_64expert_ep": moedit_64expert_ep,
+}

@@ -6,7 +6,7 @@ dataclass plus helpers to build one from the reference-style plain dict.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional, Tuple
 
 

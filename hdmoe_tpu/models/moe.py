@@ -25,7 +25,7 @@ at whole-sample granularity, matching the reference's per-sample routing.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

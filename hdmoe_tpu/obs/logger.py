@@ -20,7 +20,7 @@ import json
 import math
 from collections import defaultdict
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -17,11 +17,9 @@ train step stays a single SPMD program.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hdmoe_tpu.train.train_step import TrainState

@@ -9,11 +9,9 @@ grid + individual samples.
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from hdmoe_tpu.adapters import make_text_encoder, make_vae

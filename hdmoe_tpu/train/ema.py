@@ -12,7 +12,7 @@ to synthesize arbitrary EMA lengths).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp

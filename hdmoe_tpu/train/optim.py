@@ -20,10 +20,9 @@ the reference's semantics without mutation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from hdmoe_tpu.ops import mp

@@ -16,9 +16,9 @@ One builder per BASELINE.json config:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
-from hdmoe_tpu.models.configs import HDMOEMConfig, default_model_config
+from hdmoe_tpu.models.configs import default_model_config
 from hdmoe_tpu.parallel.mesh import MeshConfig
 from hdmoe_tpu.train.loss import EDMLossConfig
 from hdmoe_tpu.train.optim import OptimConfig

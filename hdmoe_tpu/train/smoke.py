@@ -14,7 +14,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from hdmoe_tpu.models.configs import HDMOEMConfig
-from hdmoe_tpu.train.configs import loss_configs, mask_configs, optim_configs, zeta_configs
+from hdmoe_tpu.train.configs import mask_configs, zeta_configs
 from hdmoe_tpu.train.loss import EDMLossConfig
 from hdmoe_tpu.train.optim import OptimConfig
 from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe

@@ -20,14 +20,14 @@ optimizer group AttributeError and the silently-untrained parameter groups
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from hdmoe_tpu.adapters import make_text_encoder, make_vae
-from hdmoe_tpu.models.configs import HDMOEMConfig, config_from_dict
+from hdmoe_tpu.models.configs import HDMOEMConfig
 from hdmoe_tpu.models.hdmoem import precond_init
 from hdmoe_tpu.obs.logger import Logger
 from hdmoe_tpu.obs.profiling import StepTimer

@@ -11,7 +11,6 @@ into ONE jit (and later pjit) program: no host round-trips, full XLA fusion.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 1.0
-BATCH = 64
+BATCH = 32
 HEUN_STEPS = 18  # 2*18-1 = 35 NFE
 
 

@@ -201,6 +201,18 @@ def hdmoem_apply(
             partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
             out_vit_router, time_embed, text_emb, capacity=cap, train=train, key=keys[4],
         )
+    elif cfg.dispatch == "grouped":
+        cap = cfg.capacity(b)
+        out_unet_expert = moe.moe_dispatch_grouped(
+            in_unet_router, params["unet_experts"], [_unet_expert_cfg(cfg, i) for i in range(cfg.num_experts)],
+            comp.unet_expert_apply, out_unet_router, time_embed, text_emb,
+            capacity=cap, train=train, key=keys[3],
+        )
+        out_vit_expert = moe.moe_dispatch_grouped(
+            in_vit_router, params["vit_experts"], [_vit_expert_cfg(cfg, i) for i in range(cfg.num_experts)],
+            comp.vit_expert_apply, out_vit_router, time_embed, text_emb,
+            capacity=cap, train=train, key=keys[4],
+        )
     else:
         unet_fns = [
             partial(_unet_fn, params["unet_experts"][i], _unet_expert_cfg(cfg, i)) for i in range(cfg.num_experts)

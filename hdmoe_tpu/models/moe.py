@@ -25,7 +25,7 @@ at whole-sample granularity, matching the reference's per-sample routing.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -118,3 +118,54 @@ def moe_dispatch(
             x, expert_fns, gate_weights, time_emb, text_emb, capacity=cap, train=train, key=key
         )
     raise ValueError(f"Unknown dispatch mode: {mode}")
+
+
+def moe_dispatch_grouped(
+    x: jnp.ndarray,
+    expert_params: Sequence[Any],
+    expert_cfgs: Sequence[Any],
+    apply_fn: Callable[..., jnp.ndarray],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    capacity: int,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Shape-class-grouped capacity dispatch for heterogeneous expert pools.
+
+    Experts whose static config is identical (same kernel/patch size => same
+    parameter shapes) are stacked into one vmapped bank at apply time and run
+    as a single program; classes with different shapes stay separate compile
+    units. On the flagship config (U-Net kernels 3x3,3x3,5x5,5x5; ViT patches
+    4,8,8,16) this collapses 4+4 per-expert programs into 2+3 bank programs —
+    fewer, larger kernels, which is what the launch-overhead-bound small-model
+    regime needs. The stacking of loop-invariant weights is hoisted by XLA
+    inside sampling scans.
+
+    Numerics match moe_dispatch_capacity exactly (same per-expert capacity,
+    same first-come-first-served overflow drops).
+    """
+    from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
+
+    groups: dict = {}
+    for i, cfg_i in enumerate(expert_cfgs):
+        groups.setdefault(cfg_i, []).append(i)
+
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+
+    out = jnp.zeros_like(x)
+    keys = jax.random.split(key, len(groups)) if (train and key is not None) else [None] * len(groups)
+    for g, (cfg_i, members) in enumerate(groups.items()):
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *[expert_params[i] for i in members])
+        gate_g = gate_weights[:, jnp.asarray(members)]
+        out = out + moe_dispatch_stacked(
+            x, stacked,
+            lambda p, xx, tt, txt, *, train=False, key=None, _cfg=cfg_i: apply_fn(
+                p, _cfg, xx, tt, txt, train=train, key=key
+            ),
+            gate_g, time_emb, text_emb, capacity=capacity, train=train, key=keys[g],
+        )
+    return out

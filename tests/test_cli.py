@@ -1,0 +1,38 @@
+"""CLI surface tests (python -m hdmoe_tpu)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", "hdmoe_tpu", *args],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORM_NAME": "cpu"},
+        **kw,
+    )
+
+
+def test_cli_requires_command():
+    r = _run([])
+    assert r.returncode != 0
+    assert "command" in r.stderr
+
+
+def test_cli_unknown_preset_lists_available():
+    r = _run(["train", "definitely_not_a_preset", "--steps", "1"])
+    assert r.returncode != 0
+    out = r.stderr + r.stdout
+    assert "latent_256_clip" in out and "moedit_64expert_ep" in out
+
+
+def test_cli_plot(tmp_path):
+    log = tmp_path / "x_training.jsonl"
+    log.write_text(json.dumps({"step": 0, "loss": 1.0, "lr": 1e-3}) + "\n")
+    r = _run(["plot", str(tmp_path), "x", "--out", str(tmp_path / "analysis")])
+    assert r.returncode == 0, r.stderr
+    assert "01_training_dynamics.png" in r.stdout
+    assert (tmp_path / "analysis" / "x" / "01_training_dynamics.png").exists()

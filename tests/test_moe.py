@@ -107,3 +107,31 @@ def test_dispatch_jits():
     )
     out = f(x, gate)
     assert out.shape == x.shape
+
+
+def test_grouped_dispatch_matches_capacity():
+    """Shape-class-grouped dispatch must equal plain capacity dispatch on the
+    full heterogeneous model (flagship-style mixed kernels/patches)."""
+    import jax
+    from dataclasses import replace
+    from hdmoe_tpu.models import precond_init, precond_apply
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg(num_experts=4, unet_kernel_sizes=((3, 3), (3, 3), (5, 5), (5, 5)),
+                   vit_patch_sizes=(2, 4, 4, 8))
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, 1)))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    cap_cfg = replace(cfg, dispatch="capacity", capacity_factor=4.0)  # capacity=b: exact
+    grp_cfg = replace(cfg, dispatch="grouped", capacity_factor=4.0)
+    out_cap = precond_apply(params, cap_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    out_grp = precond_apply(params, grp_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(out_grp), np.asarray(out_cap), atol=2e-5, rtol=2e-5)
+
+    dense_cfg = replace(cfg, dispatch="dense")
+    out_dense = precond_apply(params, dense_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(out_grp), np.asarray(out_dense), atol=2e-5, rtol=2e-5)

@@ -9,10 +9,12 @@ record (latent 32x32x4, 4 U-Net + 4 ViT experts, top-1 routing).
 
 Two variants are measured:
 - ``parity``: float32, dense MoE dispatch — the bit-faithful configuration.
-- ``fast``: bfloat16 activations + shape-class-GROUPED capacity dispatch
-  (cf=2.0, experts with identical kernel/patch stacked into vmapped banks —
+- ``fast``: bfloat16 activations + fixed-capacity dispatch (cf=2.0, the
   MoE-faithful sparse-compute path: top-1 routing computes ~2 experts' worth
-  of work instead of all 8) — the headline number.
+  of work instead of all 8) — the headline number. (Shape-class-grouped
+  bank dispatch measured slower at this scale — 110 vs 126 img/s — the
+  gather/scatter cost exceeds the launch savings; it remains available as
+  dispatch="grouped" for larger expert counts.)
 
 The reference publishes no throughput numbers (BASELINE.md "published": {});
 vs_baseline is the ratio to BASELINE_IMAGES_PER_SEC, a conservative anchor
@@ -85,7 +87,7 @@ def main():
 
     from hdmoe_tpu.train.optim import project_mp_weights
 
-    fast_cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="grouped", capacity_factor=2.0)
+    fast_cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=2.0)
     fast_ips, fast_ms, fast_wall = _measure(
         fast_cfg, project_mp_weights(params), text, noise, folded=True
     )

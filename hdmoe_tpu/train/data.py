@@ -148,15 +148,23 @@ def batch_iterator(
 
 
 def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> Iterator[jax.Array]:
-    """Background-thread prefetch + H2D transfer (double buffering)."""
+    """Background-thread prefetch + H2D transfer (double buffering).
+
+    Worker exceptions propagate to the consumer (re-raised from the main
+    thread) rather than silently truncating the stream — the failure-recovery
+    supervisor (train/resilient.py) depends on seeing the real error.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     dev = device or jax.devices()[0]
     stop = object()
+    failure = []
 
     def worker():
         try:
             for batch in it:
                 q.put(jax.device_put(batch, dev))
+        except BaseException as e:  # noqa: BLE001 — handed to the consumer
+            failure.append(e)
         finally:
             q.put(stop)
 
@@ -165,5 +173,7 @@ def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> 
     while True:
         item = q.get()
         if item is stop:
+            if failure:
+                raise failure[0]
             return
         yield item

@@ -169,6 +169,9 @@ def training_hdmoe(
         state, metrics, aux = jit_step(state, latents, text_emb, k_step)
         if ema is not None:
             ema.update(state.params, step)
+        # One host transfer for all telemetry (not one per scalar — each
+        # device->host read costs a full tunnel roundtrip).
+        metrics, aux = jax.device_get((metrics, aux))
         timer.tick()
 
         lrs = current_lrs(optim_cfg, step)

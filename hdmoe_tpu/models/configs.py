@@ -42,6 +42,9 @@ class HDMOEMConfig:
     capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
     use_flash: bool = False  # Pallas flash-attention core on TPU
     compute_dtype: str = "float32"  # "float32" | "bfloat16" activation dtype
+    # Rematerialize expert forwards in the backward pass (jax.checkpoint):
+    # trades recompute for activation memory on the 256x256+ configs.
+    remat_experts: bool = False
     # "heterogeneous": per-expert kernel/patch sizes, separate compile units
     #   (the reference architecture).
     # "stacked": identical experts stacked on a leading axis -> true expert

@@ -218,10 +218,12 @@ def hdmoem_apply(
         )
     else:
         unet_fns = [
-            partial(_unet_fn, params["unet_experts"][i], _unet_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
+            partial(_unet_fn, params["unet_experts"][i], _unet_expert_cfg(cfg, i), cfg.remat_experts)
+            for i in range(cfg.num_experts)
         ]
         vit_fns = [
-            partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i)) for i in range(cfg.num_experts)
+            partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i), cfg.remat_experts)
+            for i in range(cfg.num_experts)
         ]
         capacity = cfg.capacity(b) if cfg.dispatch == "capacity" else None
         out_unet_expert = moe.moe_dispatch(
@@ -271,12 +273,23 @@ def hdmoem_apply(
     return out, unet_gate_probs, unet_raw, vit_gate_probs, vit_raw, scaling_factors, out_gate
 
 
-def _unet_fn(p, ecfg, x, time_emb, text_emb, *, train, key):
-    return comp.unet_expert_apply(p, ecfg, x, time_emb, text_emb, train=train, key=key)
+def _expert_fn(apply, p, ecfg, remat, x, time_emb, text_emb, *, train, key):
+    """Single-expert call, optionally rematerialized (recompute-in-backward)."""
+
+    def inner(p_, x_, t_, tx_, key_):
+        return apply(p_, ecfg, x_, t_, tx_, train=train, key=key_)
+
+    if remat:
+        inner = jax.checkpoint(inner)
+    return inner(p, x, time_emb, text_emb, key)
 
 
-def _vit_fn(p, ecfg, x, time_emb, text_emb, *, train, key):
-    return comp.vit_expert_apply(p, ecfg, x, time_emb, text_emb, train=train, key=key)
+def _unet_fn(p, ecfg, remat, x, time_emb, text_emb, *, train, key):
+    return _expert_fn(comp.unet_expert_apply, p, ecfg, remat, x, time_emb, text_emb, train=train, key=key)
+
+
+def _vit_fn(p, ecfg, remat, x, time_emb, text_emb, *, train, key):
+    return _expert_fn(comp.vit_expert_apply, p, ecfg, remat, x, time_emb, text_emb, train=train, key=key)
 
 
 def _stacked_unet_fn(p, x, time_emb, text_emb, *, ecfg, train, key):

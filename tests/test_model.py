@@ -182,3 +182,22 @@ def test_capacity_dispatch_variant_runs():
     sigma = jnp.full((3, 1, 1, 1), 0.5)
     out = precond_apply(params, cfg, x, sigma, txt, mask, mask, 0.0)
     assert out["denoised"].shape == x.shape
+
+
+def test_remat_experts_matches_and_grads():
+    """remat_experts must not change values; grads stay finite."""
+    from dataclasses import replace
+
+    cfg = tiny_cfg()
+    params = precond_init(KEY, cfg)
+    x, _, txt, mask = _inputs(cfg)
+    sigma = jnp.full((3, 1, 1, 1), 0.5)
+    base = precond_apply(params, cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    rcfg = replace(cfg, remat_experts=True)
+    remat = precond_apply(params, rcfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(remat), np.asarray(base), atol=1e-6)
+
+    g = jax.grad(
+        lambda p: jnp.mean(precond_apply(p, rcfg, x, sigma, txt, mask, mask, 0.0)["denoised"] ** 2)
+    )(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))

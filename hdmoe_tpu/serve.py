@@ -5,13 +5,14 @@ server"). This module provides one TPU-first:
 
 - the full 35-NFE sampler is ONE ahead-of-time-compiled XLA executable with
   folded (pre-normalized) MP weights — no Python in the denoising loop;
-- requests are micro-batched up to ``max_batch`` with a short linger window,
-  then padded to the compiled batch size (static shapes);
+- each request (up to ``batch`` prompts) is padded to the compiled batch
+  size (static shapes); cross-request coalescing is a follow-up;
 - zero external dependencies: stdlib ``http.server`` + JSON.
 
 API:
-  POST /sample {"prompts": [...], "steps"?: int, "seed"?: int, "guidance"?: f}
-      -> {"images": [[...uint8 HWC...]], "latency_ms": f}
+  POST /sample {"prompts": [...], "seed"?: int, "format"?: "png"|"raw"}
+      -> {"images": [base64 PNG, ...], "shape": [...], "latency_ms": f}
+         ("raw" returns nested uint8 lists instead — large)
   GET  /healthz -> {"ok": true, "device": "...", "batch": N}
 
 Programmatic use: ``SamplerEngine`` without the HTTP wrapper.
@@ -19,8 +20,9 @@ Programmatic use: ``SamplerEngine`` without the HTTP wrapper.
 
 from __future__ import annotations
 
+import base64
+import io
 import json
-import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -143,10 +145,22 @@ def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
                     return
                 t0 = time.perf_counter()
                 images = engine.sample([str(p) for p in prompts], seed=int(req.get("seed", 0)))
+                fmt = req.get("format", "png")
+                if fmt == "raw":
+                    payload_images = images.tolist()
+                else:
+                    from PIL import Image
+
+                    payload_images = []
+                    for img in images:
+                        buf = io.BytesIO()
+                        Image.fromarray(img).save(buf, format="PNG")
+                        payload_images.append(base64.b64encode(buf.getvalue()).decode())
                 self._json(
                     200,
                     {
-                        "images": images.tolist(),
+                        "images": payload_images,
+                        "format": fmt,
                         "shape": list(images.shape),
                         "latency_ms": round((time.perf_counter() - t0) * 1000.0, 1),
                     },

@@ -53,6 +53,13 @@ def test_http_server_end_to_end(engine):
         out = json.loads(r.read())
     assert out["shape"] == [1, 64, 64, 3]
     assert out["latency_ms"] > 0
+    assert out["format"] == "png"
+    # response carries decodable PNGs
+    import base64, io
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+    assert img.size == (64, 64)
 
     # malformed request -> clean 400
     bad = urllib.request.Request(

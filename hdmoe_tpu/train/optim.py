@@ -119,7 +119,14 @@ def project_mp_weights(params):
 
 
 def current_lrs(cfg: OptimConfig, step) -> Dict[str, float]:
-    """LR telemetry for the logger (reference logs param_groups[0]['lr'])."""
+    """LR telemetry for the logger (reference logs param_groups[0]['lr']).
+
+    Computed with host math (not the optax schedule closure — evaluating that
+    per step would launch a device computation in the hot loop)."""
+    import math
+
+    t = min(max(step, 0), cfg.total_schedule_steps)
+    cosine = 0.5 * (1.0 + math.cos(math.pi * t / cfg.total_schedule_steps))
     out = {}
     for name, lr in (
         ("unet", cfg.lr_unet),
@@ -128,6 +135,5 @@ def current_lrs(cfg: OptimConfig, step) -> Dict[str, float]:
         ("router", cfg.lr_router),
         ("other", cfg.lr_other),
     ):
-        sched = _cosine(lr, cfg)
-        out[name] = float(sched(step)) if callable(sched) else float(sched)
+        out[name] = cfg.eta_min + (lr - cfg.eta_min) * cosine if lr > 0 else lr
     return out

@@ -63,6 +63,10 @@ class RunConfig:
     mesh: Optional[MeshConfig] = None  # None => single device
     print_interval: int = 100
     ema_decay: float = 0.0  # 0 disables EMA; e.g. 0.9999 enables
+    # Fetch telemetry from device every N steps (1 = reference-faithful
+    # per-step accumulation; log_interval-aligned values avoid the per-step
+    # device->host roundtrip that dominates small-model training throughput).
+    telemetry_every: int = 1
 
 
 def training_hdmoe(
@@ -169,20 +173,22 @@ def training_hdmoe(
         state, metrics, aux = jit_step(state, latents, text_emb, k_step)
         if ema is not None:
             ema.update(state.params, step)
-        # One host transfer for all telemetry (not one per scalar — each
-        # device->host read costs a full tunnel roundtrip).
-        metrics, aux = jax.device_get((metrics, aux))
         timer.tick()
 
-        lrs = current_lrs(optim_cfg, step)
-        logger.log_training_step(step, metrics, lr=lrs["unet"],
-                                 p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"])
-        logger.log_router_statistics(step, aux["unet_probs"], aux["vit_probs"], aux["sigma"],
+        fetch = run.telemetry_every <= 1 or step % run.telemetry_every == 0 or step == run.total_steps - 1
+        if fetch:
+            # One host transfer for all telemetry (not one per scalar — each
+            # device->host read costs a full roundtrip).
+            metrics, aux = jax.device_get((metrics, aux))
+            lrs = current_lrs(optim_cfg, step)
+            logger.log_training_step(step, metrics, lr=lrs["unet"],
                                      p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"])
-        logger.log_scaling_gating(aux["scaling_factors"], aux["out_gate"], aux["sigma"])
-        logger.log_gradients(step, metrics)
-        logger.log_weight_statistics(step, state.params)
-        current_mse = float(metrics["denoising"])
+            logger.log_router_statistics(step, aux["unet_probs"], aux["vit_probs"], aux["sigma"],
+                                         p_mean=mask_cfg["p_mean"], p_std=mask_cfg["p_std"])
+            logger.log_scaling_gating(aux["scaling_factors"], aux["out_gate"], aux["sigma"])
+            logger.log_gradients(step, metrics)
+            logger.log_weight_statistics(step, state.params)
+            current_mse = float(metrics["denoising"])
 
         if step % run.print_interval == 0:
             ips = timer.images_per_sec(run.batch_size)

@@ -61,19 +61,27 @@ class NativeSyntheticDataset:
     SyntheticDataset; images differ from the Python generator's — both are
     procedural flowers, the native one uses its own PRNG)."""
 
-    def __init__(self, resolution: int = 256, size: int = 2048, seed: int = 0, n_threads: int = 0):
+    def __init__(
+        self, resolution: int = 256, size: int = 2048, seed: int = 0, n_threads: int = 0, cache: bool = True
+    ):
         if _load() is None:
             raise RuntimeError(f"native datagen unavailable: {_load_error}")
         self.resolution = resolution
         self.size = size
         self.seed = seed
         self.n_threads = n_threads
+        # one-shot epoch cache: the virtual epoch is finite and deterministic,
+        # so generate each image once and serve repeats from memory
+        self._cache: Optional[np.ndarray] = None
+        self._cached_mask: Optional[np.ndarray] = None
+        if cache:
+            self._cache = np.zeros((size, resolution, resolution, 3), dtype=np.uint8)
+            self._cached_mask = np.zeros((size,), dtype=bool)
 
     def __len__(self) -> int:
         return self.size
 
-    def get_batch(self, indices: np.ndarray) -> np.ndarray:
-        idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64) % self.size)
+    def _generate(self, idx: np.ndarray) -> np.ndarray:
         b = len(idx)
         out = np.empty((b, self.resolution, self.resolution, 3), dtype=np.uint8)
         _lib.hdmoe_generate_batch(
@@ -85,6 +93,17 @@ class NativeSyntheticDataset:
             self.n_threads,
         )
         return out
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64) % self.size)
+        if self._cache is None:
+            return self._generate(idx)
+        missing = idx[~self._cached_mask[idx]]
+        if len(missing):
+            missing = np.ascontiguousarray(np.unique(missing))
+            self._cache[missing] = self._generate(missing)
+            self._cached_mask[missing] = True
+        return self._cache[idx]
 
     def get(self, idx: int) -> np.ndarray:
         return self.get_batch(np.asarray([idx]))[0]

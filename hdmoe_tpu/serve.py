@@ -145,7 +145,7 @@ def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
                     return
                 t0 = time.perf_counter()
                 images = engine.sample([str(p) for p in prompts], seed=int(req.get("seed", 0)))
-                fmt = req.get("format", "png")
+                fmt = "raw" if req.get("format") == "raw" else "png"
                 if fmt == "raw":
                     payload_images = images.tolist()
                 else:

@@ -16,9 +16,13 @@ Two variants are measured:
   gather/scatter cost exceeds the launch savings; it remains available as
   dispatch="grouped" for larger expert counts.)
 
-The reference publishes no throughput numbers (BASELINE.md "published": {});
-vs_baseline is the ratio to BASELINE_IMAGES_PER_SEC, a conservative anchor
-kept constant across rounds for comparability.
+The reference publishes no throughput numbers (BASELINE.md "published": {}),
+so ``vs_baseline`` is the speedup of the fast path over the parity variant
+measured in the same run — fp32 + dense dispatch is the reference algorithm
+verbatim (every expert runs every sample, fp32 end to end), i.e. the closest
+measurable stand-in for "the reference's own number" on this chip. A
+vs_baseline of 2.0 means the TPU-native fast path samples 2x faster than the
+reference-faithful computation on identical hardware.
 """
 
 import json
@@ -28,7 +32,6 @@ from dataclasses import replace
 import jax
 import jax.numpy as jnp
 
-BASELINE_IMAGES_PER_SEC = 1.0
 BATCH = 32
 HEUN_STEPS = 18  # 2*18-1 = 35 NFE
 
@@ -98,7 +101,7 @@ def main():
                 "metric": "images/sec/chip @ 35-NFE EDM sampling (flagship 32x32x4, 4+4 experts)",
                 "value": round(fast_ips, 4),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(fast_ips / BASELINE_IMAGES_PER_SEC, 4),
+                "vs_baseline": round(fast_ips / parity_ips, 4),
                 "denoiser_step_ms": round(fast_ms, 2),
                 "parity_f32_dense_images_per_sec": round(parity_ips, 4),
                 "parity_f32_dense_step_ms": round(parity_ms, 2),

@@ -41,8 +41,8 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stag
     outs = jnp.zeros_like(x_micro)
     # carries become device-varying inside the loop (ppermute/stage compute);
     # mark the initial values as varying over the pipeline axis too
-    buf = jax.lax.pvary(buf, (axis_name,))
-    outs = jax.lax.pvary(outs, (axis_name,))
+    buf = jax.lax.pcast(buf, (axis_name,), to="varying")
+    outs = jax.lax.pcast(outs, (axis_name,), to="varying")
 
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
     ticks = num_micro + num_stages - 1

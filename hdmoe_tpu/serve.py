@@ -6,7 +6,11 @@ server"). This module provides one TPU-first:
 - the full 35-NFE sampler is ONE ahead-of-time-compiled XLA executable with
   folded (pre-normalized) MP weights — no Python in the denoising loop;
 - each request (up to ``batch`` prompts) is padded to the compiled batch
-  size (static shapes); cross-request coalescing is a follow-up;
+  size (static shapes);
+- a single worker thread owns the engine (``BatchingFrontend``): concurrent
+  HTTP requests enqueue and are COALESCED into one compiled run when their
+  prompt counts fit in the engine batch — the compiled executable and the
+  adapters are never entered concurrently;
 - zero external dependencies: stdlib ``http.server`` + JSON.
 
 API:
@@ -23,6 +27,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -90,26 +95,107 @@ class SamplerEngine:
                 )
 
     def sample(self, prompts: List[str], seed: int = 0) -> np.ndarray:
-        """Sample len(prompts) images (padded internally to the engine batch)."""
-        n = len(prompts)
-        assert n <= self.batch, f"request {n} exceeds engine batch {self.batch}"
-        key = jax.random.PRNGKey(seed)
-        k_noise, k_churn = jax.random.split(key)
-        noise = jax.random.normal(
-            k_noise, (self.batch, self.cfg.img_resolution, self.cfg.img_resolution, self.cfg.in_channels)
-        )
+        """Sample len(prompts) images (padded internally to the engine batch).
+
+        NOT thread-safe — wrap in :class:`BatchingFrontend` for concurrent use.
+        """
+        return self.sample_coalesced([(prompts, seed)])[0]
+
+    def sample_coalesced(self, requests: List[tuple]) -> List[np.ndarray]:
+        """Run several (prompts, seed) requests as ONE compiled batch.
+
+        Each request's noise slice is drawn from its own seed (row i of the
+        request's full-batch draw), so a request's images are independent of
+        which other requests it shares the batch with, except for the churn
+        renoise stream (shared, keyed by the first request's seed; with the
+        default S_churn=0 churn is inactive and coalescing is exact).
+        """
+        total = sum(len(p) for p, _ in requests)
+        assert total <= self.batch, f"coalesced {total} exceeds engine batch {self.batch}"
+        shape = (self.batch, self.cfg.img_resolution, self.cfg.img_resolution, self.cfg.in_channels)
+        k0_noise, k_churn = jax.random.split(jax.random.PRNGKey(requests[0][1]))
+        noise = jax.random.normal(k0_noise, shape)
+        all_prompts: List[str] = []
+        row = 0
+        for prompts, seed in requests:
+            n = len(prompts)
+            if row > 0:  # later requests overwrite their rows from their own seed
+                k_noise, _ = jax.random.split(jax.random.PRNGKey(seed))
+                noise = noise.at[row : row + n].set(jax.random.normal(k_noise, shape)[:n])
+            all_prompts.extend(prompts)
+            row += n
         if self.clip is not None:
-            padded = prompts + [""] * (self.batch - n)
+            padded = all_prompts + [""] * (self.batch - total)
             text = self.clip.encode_text(padded)
-            latents = self._sample(noise, text, jax.random.key_data(k_churn) if hasattr(jax.random, "key_data") and jnp.issubdtype(k_churn.dtype, jax.dtypes.prng_key) else k_churn)
+            latents = self._sample(noise, text, k_churn)
         else:
             latents = self._sample(noise, k_churn)
         images = np.asarray(self.vae.decode(latents))
-        return images[:n]
+        out, row = [], 0
+        for prompts, _ in requests:
+            out.append(images[row : row + len(prompts)])
+            row += len(prompts)
+        return out
+
+
+class BatchingFrontend:
+    """Thread-safe queue in front of a SamplerEngine.
+
+    One worker thread owns the engine; concurrent ``submit`` calls enqueue
+    and the worker coalesces as many queued requests as fit in the engine
+    batch into a single compiled run (round-1 review: ThreadingHTTPServer
+    dispatched concurrent POSTs straight into ``engine.sample``)."""
+
+    def __init__(self, engine: SamplerEngine):
+        self.engine = engine
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, prompts: List[str], seed: int = 0) -> np.ndarray:
+        """Blocking: enqueue and wait for this request's images."""
+        assert len(prompts) <= self.engine.batch
+        item = {"prompts": prompts, "seed": seed, "done": threading.Event()}
+        self._q.put(item)
+        item["done"].wait()
+        if "error" in item:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            batch_items = [first]
+            room = self.engine.batch - len(first["prompts"])
+            # coalesce whatever is already queued and fits
+            while room > 0:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if len(nxt["prompts"]) <= room:
+                    batch_items.append(nxt)
+                    room -= len(nxt["prompts"])
+                else:  # doesn't fit: run it in its own later batch
+                    self._q.put(nxt)
+                    break
+            try:
+                results = self.engine.sample_coalesced(
+                    [(it["prompts"], it["seed"]) for it in batch_items]
+                )
+                for it, res in zip(batch_items, results):
+                    it["result"] = res
+            except Exception as e:  # noqa: BLE001 — handed back to the callers
+                for it in batch_items:
+                    it["error"] = e
+            finally:
+                for it in batch_items:
+                    it["done"].set()
 
 
 def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
-    """Blocking HTTP server around a SamplerEngine."""
+    """Blocking HTTP server around a SamplerEngine (queued + coalescing)."""
+    frontend = BatchingFrontend(engine)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -144,7 +230,7 @@ def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
                     self._json(400, {"error": f"at most {engine.batch} prompts per request"})
                     return
                 t0 = time.perf_counter()
-                images = engine.sample([str(p) for p in prompts], seed=int(req.get("seed", 0)))
+                images = frontend.submit([str(p) for p in prompts], seed=int(req.get("seed", 0)))
                 fmt = "raw" if req.get("format") == "raw" else "png"
                 if fmt == "raw":
                     payload_images = images.tolist()

@@ -133,18 +133,34 @@ def batch_iterator(
     batch_size: int,
     seed: int = 0,
     shuffle: bool = True,
+    start_batch: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Infinite epoch-shuffled uint8 NHWC batch stream (drop-last)."""
+    """Infinite epoch-shuffled uint8 NHWC batch stream (drop-last).
+
+    ``start_batch`` fast-forwards the deterministic stream: a resumed run
+    passes its restored step count so it continues with the batches it has
+    NOT yet seen instead of replaying epoch 0 (round-1 review finding).
+    Skipped batches are never materialized — only the epoch permutations are
+    regenerated, so fast-forward is O(epochs) cheap RNG work.
+    """
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    per_epoch = len(range(0, n - batch_size + 1, batch_size))
+    skip = start_batch
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n - batch_size + 1, batch_size):
+        if skip >= per_epoch:
+            skip -= per_epoch
+            continue
+        for b, start in enumerate(range(0, n - batch_size + 1, batch_size)):
+            if b < skip:
+                continue
             idx = order[start : start + batch_size]
             if hasattr(dataset, "get_batch"):
                 yield dataset.get_batch(idx)
             else:
                 yield np.stack([dataset.get(int(i)) for i in idx])
+        skip = 0
 
 
 def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> Iterator[jax.Array]:

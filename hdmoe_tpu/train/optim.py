@@ -70,12 +70,31 @@ def label_params(params: Dict[str, Any]):
     return net_labels
 
 
+def cosine_lr(base_lr: float, cfg: OptimConfig, t, *, xp=None):
+    """torch CosineAnnealingLR: eta_min + (base-eta_min)*(1+cos(pi t/T))/2.
+
+    THE single source of the LR math — both the optax schedule (traced, xp=jnp)
+    and the host-side telemetry (xp=math) evaluate this same function, so they
+    cannot silently diverge (round-1 review finding)."""
+    import math
+
+    if xp is None:
+        t = min(max(t, 0), cfg.total_schedule_steps)
+        cos = math.cos
+    else:
+        t = xp.clip(t, 0, cfg.total_schedule_steps)
+        cos = xp.cos
+    cosine = 0.5 * (1.0 + cos(math.pi * t / cfg.total_schedule_steps))
+    return cfg.eta_min + (base_lr - cfg.eta_min) * cosine
+
+
 def _cosine(base_lr: float, cfg: OptimConfig):
-    """torch CosineAnnealingLR: eta_min + (base-eta_min)*(1+cos(pi t/T))/2."""
+    """Optax schedule wrapper over :func:`cosine_lr` (traced with jnp)."""
     if base_lr <= 0:
         return base_lr
-    alpha = cfg.eta_min / base_lr
-    return optax.cosine_decay_schedule(base_lr, cfg.total_schedule_steps, alpha=alpha)
+    import jax.numpy as jnp
+
+    return lambda step: cosine_lr(base_lr, cfg, step, xp=jnp)
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
@@ -121,12 +140,9 @@ def project_mp_weights(params):
 def current_lrs(cfg: OptimConfig, step) -> Dict[str, float]:
     """LR telemetry for the logger (reference logs param_groups[0]['lr']).
 
-    Computed with host math (not the optax schedule closure — evaluating that
-    per step would launch a device computation in the hot loop)."""
-    import math
-
-    t = min(max(step, 0), cfg.total_schedule_steps)
-    cosine = 0.5 * (1.0 + math.cos(math.pi * t / cfg.total_schedule_steps))
+    Evaluates :func:`cosine_lr` with host math (the exact function the optax
+    schedule traces) — no device computation in the hot loop, no duplicated
+    formula."""
     out = {}
     for name, lr in (
         ("unet", cfg.lr_unet),
@@ -135,5 +151,5 @@ def current_lrs(cfg: OptimConfig, step) -> Dict[str, float]:
         ("router", cfg.lr_router),
         ("other", cfg.lr_other),
     ):
-        out[name] = cfg.eta_min + (lr - cfg.eta_min) * cosine if lr > 0 else lr
+        out[name] = cosine_lr(lr, cfg, step) if lr > 0 else lr
     return out

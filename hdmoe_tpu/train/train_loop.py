@@ -88,7 +88,6 @@ def training_hdmoe(
 
     # ---- data + frozen encoders -------------------------------------------
     dataset = make_dataset(run.dataset, resolution=run.data_img_res, root=run.data_root, seed=run.seed)
-    batches = batch_iterator(dataset, run.batch_size, seed=run.seed)
     vae = make_vae(run.vae, target_std=model_cfg.sigma_data)
     clip = make_text_encoder(run.text_encoder, width=model_cfg.text_emb_dim)
     encode = jax.jit(lambda px, k: vae.encode(px, k)) if hasattr(vae, "_proj") else vae.encode
@@ -165,6 +164,9 @@ def training_hdmoe(
     metrics: Dict[str, jnp.ndarray] = {}
     current_mse = float("inf")
     start_step = int(state.step)
+    # Resume continues the deterministic batch stream where it left off
+    # (start_batch fast-forward) instead of replaying epoch 0.
+    batches = batch_iterator(dataset, run.batch_size, seed=run.seed, start_batch=start_step)
     data_it = prefetch_to_device(batches, size=2, device=data_target)
     for step in range(start_step, run.total_steps):
         pixels = next(data_it)

@@ -73,6 +73,30 @@ def test_synthetic_dataset_and_iterator():
     assert b1.shape == (4, 32, 32, 3)
 
 
+def test_batch_iterator_start_batch_fast_forward():
+    """Resume fast-forward: iterator(start_batch=k) yields the same stream as
+    consuming k batches first — incl. across epoch boundaries (size 8 / bs 2
+    => 4 batches/epoch; skipping 6 lands mid-epoch-2)."""
+    ds = SyntheticDataset(resolution=8, size=8, seed=0)
+    full = batch_iterator(ds, 2, seed=0)
+    ref = [next(full) for _ in range(9)]
+    for k in (0, 3, 4, 6):
+        it = batch_iterator(ds, 2, seed=0, start_batch=k)
+        for j in range(9 - k):
+            np.testing.assert_array_equal(next(it), ref[k + j])
+
+
+def test_cosine_lr_matches_optax_schedule():
+    """Host-telemetry LR and the traced optax schedule come from one function."""
+    from hdmoe_tpu.train.optim import OptimConfig, cosine_lr, current_lrs
+
+    cfg = OptimConfig(total_schedule_steps=100)
+    for step in (0, 1, 37, 50, 99, 100, 150):
+        host = current_lrs(cfg, step)
+        traced = float(cosine_lr(cfg.lr_unet, cfg, jnp.asarray(step), xp=jnp))
+        assert abs(host["unet"] - traced) < 1e-9
+
+
 def test_prefetch_to_device():
     ds = SyntheticDataset(resolution=16, size=8)
     it = batch_iterator(ds, 2, seed=0)

@@ -34,6 +34,43 @@ def test_engine_rejects_oversized(engine):
         engine.sample(["p"] * 5)
 
 
+def test_coalesced_matches_serial(engine):
+    """A request's images are identical whether it runs alone or coalesced
+    with other requests (per-request noise seeds; S_churn=0 default)."""
+    solo_a = engine.sample(["a flower"], seed=1)
+    solo_b = engine.sample(["a rose", "a tulip"], seed=7)
+    both = engine.sample_coalesced([(["a flower"], 1), (["a rose", "a tulip"], 7)])
+    np.testing.assert_array_equal(both[0], solo_a)
+    np.testing.assert_array_equal(both[1], solo_b)
+
+
+def test_batching_frontend_concurrent_clients(engine):
+    """Concurrent submits are safe (single worker owns the engine) and each
+    client gets its own request's images back."""
+    from hdmoe_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(engine)
+    expected = {s: engine.sample(["p"], seed=s) for s in range(6)}
+    results: dict = {}
+    errors: list = []
+
+    def client(s):
+        try:
+            results[s] = fe.submit(["p"], seed=s)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert set(results) == set(range(6))
+    for s in range(6):
+        np.testing.assert_array_equal(results[s], expected[s])
+
+
 def test_http_server_end_to_end(engine):
     port = 8991
     t = threading.Thread(target=serve, args=(engine,), kwargs={"port": port}, daemon=True)

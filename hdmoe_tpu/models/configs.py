@@ -38,7 +38,12 @@ class HDMOEMConfig:
     log_var_channels: int = 128
     # TPU-native knobs (no reference analog)
     variant: str = "config2"  # "config1": learned Scaling_router + dynamic query/context swap
-    dispatch: str = "dense"  # "dense" | "capacity"
+    # "dense": all experts on all samples, combined by sparse gate (exact)
+    # "capacity": fixed-capacity gather/scatter dispatch (XLA gather)
+    # "pallas": capacity semantics, token movement via the Pallas
+    #           dispatch/combine kernels (ops/pallas/moe_kernels.py)
+    # "grouped": shape-class bank dispatch (heterogeneous pools only)
+    dispatch: str = "dense"
     capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
     use_flash: bool = False  # Pallas flash-attention core on TPU
     compute_dtype: str = "float32"  # "float32" | "bfloat16" activation dtype

@@ -194,15 +194,18 @@ def hdmoem_apply(
         from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
 
         cap = cfg.capacity(b)
+        use_pallas = cfg.dispatch == "pallas"
         out_unet_expert = moe_dispatch_stacked(
             in_unet_router, params["unet_experts"]["stacked_experts"],
             partial(_stacked_unet_fn, ecfg=_unet_expert_cfg(cfg, 0)),
             out_unet_router, time_embed, text_emb, capacity=cap, train=train, key=keys[3],
+            use_pallas=use_pallas, top_k=cfg.top_k,
         )
         out_vit_expert = moe_dispatch_stacked(
             in_vit_router, params["vit_experts"]["stacked_experts"],
             partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
             out_vit_router, time_embed, text_emb, capacity=cap, train=train, key=keys[4],
+            use_pallas=use_pallas, top_k=cfg.top_k,
         )
     elif cfg.dispatch == "grouped":
         cap = cfg.capacity(b)
@@ -225,14 +228,14 @@ def hdmoem_apply(
             partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i), cfg.remat_experts)
             for i in range(cfg.num_experts)
         ]
-        capacity = cfg.capacity(b) if cfg.dispatch == "capacity" else None
+        capacity = cfg.capacity(b) if cfg.dispatch in ("capacity", "pallas") else None
         out_unet_expert = moe.moe_dispatch(
             in_unet_router, unet_fns, out_unet_router, time_embed, text_emb,
-            mode=cfg.dispatch, capacity=capacity, train=train, key=keys[3],
+            mode=cfg.dispatch, capacity=capacity, top_k=cfg.top_k, train=train, key=keys[3],
         )
         out_vit_expert = moe.moe_dispatch(
             in_vit_router, vit_fns, out_vit_router, time_embed, text_emb,
-            mode=cfg.dispatch, capacity=capacity, train=train, key=keys[4],
+            mode=cfg.dispatch, capacity=capacity, top_k=cfg.top_k, train=train, key=keys[4],
         )
 
     out_unet_flat = out_unet_expert.reshape(b, h * w, cfg.internal_channels)

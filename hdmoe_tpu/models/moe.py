@@ -98,6 +98,50 @@ def moe_dispatch_capacity(
     return out
 
 
+def moe_dispatch_capacity_pallas(
+    x: jnp.ndarray,
+    expert_fns: Sequence[Callable[..., jnp.ndarray]],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    capacity: int,
+    top_k: int = 1,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Capacity dispatch with Pallas kernel-backed token movement.
+
+    Same semantics as :func:`moe_dispatch_capacity` (same first-come-
+    first-served assignment, same overflow drops) but the gathers collapse
+    into ONE ``dispatch_rows`` kernel call per operand for all experts, and
+    the weighted scatter becomes the race-free gather-based ``combine_rows``
+    kernel (each output row pulls its <= top_k contributions; no scatter
+    collisions at any top_k). Backward is the jnp adjoint (custom_vjp), so
+    masked experts keep exactly-zero gradients.
+    """
+    from hdmoe_tpu.models.moe_stacked import expert_assignment
+    from hdmoe_tpu.ops.pallas.moe_kernels import combine_rows, combine_tables, dispatch_rows
+
+    b = x.shape[0]
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+    idx, weights = expert_assignment(gate_weights.astype(jnp.float32), capacity)  # (E, C)
+
+    xg = dispatch_rows(x, idx)
+    tg = dispatch_rows(time_emb, idx)
+    txg = dispatch_rows(text_emb, idx) if text_emb is not None else None
+
+    keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
+    outs = [
+        fn(xg[i], tg[i], txg[i] if txg is not None else None, train=train, key=keys[i])
+        for i, fn in enumerate(expert_fns)
+    ]
+    contrib = jnp.stack(outs)  # (E, C, ...)
+    slots, w = combine_tables(idx, weights, b, top_k)
+    return combine_rows(contrib, slots, w).astype(x.dtype)
+
+
 def moe_dispatch(
     x: jnp.ndarray,
     expert_fns: Sequence[Callable[..., jnp.ndarray]],
@@ -107,6 +151,7 @@ def moe_dispatch(
     *,
     mode: str = "dense",
     capacity: Optional[int] = None,
+    top_k: int = 1,
     train: bool = False,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
@@ -116,6 +161,12 @@ def moe_dispatch(
         cap = capacity if capacity is not None else x.shape[0]
         return moe_dispatch_capacity(
             x, expert_fns, gate_weights, time_emb, text_emb, capacity=cap, train=train, key=key
+        )
+    if mode == "pallas":
+        cap = capacity if capacity is not None else x.shape[0]
+        return moe_dispatch_capacity_pallas(
+            x, expert_fns, gate_weights, time_emb, text_emb,
+            capacity=cap, top_k=top_k, train=train, key=key,
         )
     raise ValueError(f"Unknown dispatch mode: {mode}")
 

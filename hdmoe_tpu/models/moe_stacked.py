@@ -63,12 +63,18 @@ def moe_dispatch_stacked(
     capacity: int,
     train: bool = False,
     key: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    top_k: int = 1,
 ) -> jnp.ndarray:
     """Gather -> one vmapped expert bank -> weighted scatter combine.
 
     ``apply_fn(params_e, x_c, time_c, text_c, train=..., key=...)`` is the
     single-expert forward; it is vmapped over the leading expert axis of
     ``stacked_params`` and the gathered (E, C, ...) batches.
+
+    ``use_pallas=True`` routes the token movement through the Pallas
+    dispatch/combine kernels (ops/pallas/moe_kernels.py) instead of XLA
+    gather/scatter — identical numerics, explicit DMA data movement.
     """
     b = x.shape[0]
     e = gate_weights.shape[1]
@@ -77,9 +83,16 @@ def moe_dispatch_stacked(
 
     idx, weights = expert_assignment(gate_weights.astype(jnp.float32), capacity)
 
-    xg = x[idx]  # (E, C, H, W, Cin) — all-to-all under expert sharding
-    tg = time_emb[idx]
-    txg = text_emb[idx] if text_emb is not None else None
+    if use_pallas:
+        from hdmoe_tpu.ops.pallas.moe_kernels import dispatch_rows
+
+        xg = dispatch_rows(x, idx)
+        tg = dispatch_rows(time_emb, idx)
+        txg = dispatch_rows(text_emb, idx) if text_emb is not None else None
+    else:
+        xg = x[idx]  # (E, C, H, W, Cin) — all-to-all under expert sharding
+        tg = time_emb[idx]
+        txg = text_emb[idx] if text_emb is not None else None
 
     if train and key is not None:
         expert_keys = jax.random.split(key, e)
@@ -96,6 +109,11 @@ def moe_dispatch_stacked(
             stacked_params, xg, tg, txg
         )
 
+    if use_pallas:
+        from hdmoe_tpu.ops.pallas.moe_kernels import combine_rows, combine_tables
+
+        slots, w_tab = combine_tables(idx, weights, b, top_k)
+        return combine_rows(out_e, slots, w_tab).astype(x.dtype)
     w = weights.astype(x.dtype)[..., None, None, None]  # (E, C, 1, 1, 1)
     flat_idx = idx.reshape(-1)
     contrib = (out_e * w).reshape(e * capacity, *x.shape[1:])

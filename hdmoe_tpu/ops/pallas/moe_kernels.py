@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -123,11 +124,89 @@ def combine_tables(idx: jnp.ndarray, weights: jnp.ndarray, batch: int, top_k: in
     valid = (sorted_samples < batch) & (rank_in_sample < top_k)
     slots = jnp.zeros((batch, top_k), dtype=jnp.int32)
     w = jnp.zeros((batch, top_k), dtype=weights.dtype)
-    rows = jnp.where(valid, sorted_samples, batch - 1)
-    cols = jnp.where(valid, rank_in_sample, top_k - 1)
-    slots = slots.at[rows, cols].set(jnp.where(valid, order.astype(jnp.int32), 0), mode="drop")
-    w = w.at[rows, cols].set(jnp.where(valid, flat_w[order], 0.0), mode="drop")
+    # invalid entries scatter OUT OF BOUNDS (row == batch) so mode="drop"
+    # discards them — routing them to any in-bounds cell would clobber a
+    # real sample's slot (they race on the same index).
+    rows = jnp.where(valid, sorted_samples, batch)
+    cols = jnp.where(valid, rank_in_sample, 0)
+    slots = slots.at[rows, cols].set(order.astype(jnp.int32), mode="drop")
+    w = w.at[rows, cols].set(flat_w[order], mode="drop")
     return slots, w
+
+
+# ---------------------------------------------------------------------------
+# Differentiable ND wrappers — the model-facing surface (models/moe.py,
+# models/moe_stacked.py call these when dispatch="pallas"). Forward = Pallas
+# kernel (data movement as explicit DMA); backward = the jnp adjoint
+# (scatter-add / gather), which XLA compiles well.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def dispatch_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather sample rows ``x (B, ...)`` into expert banks ``(E, C, ...)``
+    via the Pallas dispatch kernel. Differentiable in ``x``."""
+    e, c = idx.shape
+    flat = pallas_dispatch(x.reshape(x.shape[0], -1), idx)
+    return flat.reshape(e, c, *x.shape[1:])
+
+
+def _dispatch_rows_fwd(x, idx):
+    # dtype rides in a zero-size proto array (np.dtype objects are not valid
+    # residual leaves); the shape tuple is static at trace time.
+    return dispatch_rows(x, idx), (x.shape, jnp.zeros((0,), x.dtype), idx)
+
+
+def _dispatch_rows_bwd(res, g):
+    shape, proto, idx = res
+    f = int(np.prod(shape[1:]))
+    dx = (
+        jnp.zeros((shape[0], f), proto.dtype)
+        .at[idx.reshape(-1)]
+        .add(g.reshape(-1, f).astype(proto.dtype))
+        .reshape(shape)
+    )
+    return dx, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
+
+
+@jax.custom_vjp
+def combine_rows(contrib: jnp.ndarray, slots: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted combine of expert outputs ``contrib (E, C, ...)`` back to
+    batch order ``(B, ...)`` via the gather-based Pallas combine kernel.
+    ``slots/weights (B, k)`` from :func:`combine_tables`. Differentiable in
+    ``contrib`` and ``weights`` (gate gradients flow)."""
+    e, c = contrib.shape[:2]
+    feat = contrib.shape[2:]
+    out = pallas_combine(contrib.reshape(e * c, -1), slots, weights)
+    return out.reshape(slots.shape[0], *feat).astype(contrib.dtype)
+
+
+def _combine_rows_fwd(contrib, slots, weights):
+    return combine_rows(contrib, slots, weights), (contrib, slots, weights)
+
+
+def _combine_rows_bwd(res, g):
+    contrib, slots, weights = res
+    e, c = contrib.shape[:2]
+    f = int(np.prod(contrib.shape[2:]))
+    gf = g.reshape(g.shape[0], f)
+    # d contrib[slot[b,j]] += w[b,j] * g[b]
+    dcontrib = (
+        jnp.zeros((e * c, f), contrib.dtype)
+        .at[slots.reshape(-1)]
+        .add((weights[..., None].astype(g.dtype) * gf[:, None, :]).reshape(-1, f).astype(contrib.dtype))
+        .reshape(contrib.shape)
+    )
+    # d w[b,j] = <contrib[slot[b,j]], g[b]>
+    cf = contrib.reshape(e * c, f)
+    dw = jnp.einsum("bkf,bf->bk", cf[slots].astype(jnp.float32), gf.astype(jnp.float32)).astype(weights.dtype)
+    return dcontrib, np.zeros(slots.shape, dtype=jax.dtypes.float0), dw
+
+
+combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
 
 
 def _combine_kernel(slots_ref, w_ref, contrib_hbm, out_ref, scratch, sems, *, top_k):

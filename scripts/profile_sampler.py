@@ -16,9 +16,14 @@ Outputs under artifacts/profile_r2/:
 """
 
 import json
+import os
 import sys
 import time
 from dataclasses import replace
+
+# repo root importable without PYTHONPATH (setting PYTHONPATH breaks the
+# axon TPU plugin's tunnel helper in this environment)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

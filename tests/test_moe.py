@@ -109,6 +109,127 @@ def test_dispatch_jits():
     assert out.shape == x.shape
 
 
+def test_pallas_dispatch_matches_capacity_values_and_grads():
+    """dispatch="pallas" (kernel-backed token movement) must equal the
+    capacity path in values AND parameter gradients (custom_vjp adjoint)."""
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jnp.zeros((B, 4))
+    idx = jnp.array([0, 1, 2, 0, 1, 2])
+    gate = jax.nn.one_hot(idx, E)
+
+    def run(mode, scales):
+        fns = [
+            (lambda s: (lambda xx, tt, txt, *, train=False, key=None: xx * s))(s)
+            for s in scales
+        ]
+        return moe.moe_dispatch(x, fns, gate, t, None, mode=mode, capacity=B, top_k=1)
+
+    scales = jnp.array([1.0, 2.0, 3.0])
+    out_cap = run("capacity", scales)
+    out_pal = run("pallas", scales)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_cap), rtol=1e-6)
+
+    g_cap = jax.grad(lambda s: jnp.sum(run("capacity", s) ** 2))(scales)
+    g_pal = jax.grad(lambda s: jnp.sum(run("pallas", s) ** 2))(scales)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_cap), rtol=1e-5)
+
+
+def test_pallas_masked_expert_zero_gradient():
+    """Zero-gate experts get exactly-zero grads through the Pallas path."""
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jnp.zeros((B, 4))
+    gate = jnp.stack([jnp.ones(B), jnp.zeros(B), jnp.zeros(B)], axis=1)
+
+    def loss(expert_scales):
+        fns = [
+            (lambda s: (lambda xx, tt, txt, *, train=False, key=None: xx * s))(s)
+            for s in expert_scales
+        ]
+        out = moe.moe_dispatch(x, fns, gate, t, None, mode="pallas", capacity=B, top_k=1)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(jnp.array([1.0, 2.0, 3.0]))
+    assert float(g[0]) != 0.0
+    assert float(g[1]) == 0.0
+    assert float(g[2]) == 0.0
+
+
+def test_pallas_dispatch_top2_matches_dense():
+    """top_k=2 sparse gate: the gather-based combine handles two contributions
+    per sample without scatter races; values match the dense oracle."""
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jnp.zeros((B, 4))
+    k1 = jnp.array([0, 1, 2, 0, 1, 2])
+    k2 = jnp.array([1, 2, 0, 2, 0, 1])
+    gate = jax.nn.one_hot(k1, E) * 0.7 + jax.nn.one_hot(k2, E) * 0.3
+    dense = moe.moe_dispatch_dense(x, _make_experts(), gate, t, None)
+    pal = moe.moe_dispatch(x, _make_experts(), gate, t, None, mode="pallas", capacity=B, top_k=2)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(dense), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_full_model_matches_capacity():
+    """Whole preconditioned model under dispatch="pallas" equals "capacity"
+    in outputs and in grads wrt params (flagship-style heterogeneous pools)."""
+    from dataclasses import replace
+    from hdmoe_tpu.models import precond_init, precond_apply
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg(num_experts=4, unet_kernel_sizes=((3, 3), (3, 3), (5, 5), (5, 5)),
+                   vit_patch_sizes=(2, 4, 4, 8))
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, 1)))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    cap_cfg = replace(cfg, dispatch="capacity", capacity_factor=4.0)
+    pal_cfg = replace(cfg, dispatch="pallas", capacity_factor=4.0)
+    out_cap = precond_apply(params, cap_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    out_pal = precond_apply(params, pal_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_cap), atol=2e-5, rtol=2e-5)
+
+    from jax.flatten_util import ravel_pytree
+
+    def loss(p, c):
+        return jnp.sum(precond_apply(p, c, x, sigma, txt, mask, mask, 0.0)["denoised"] ** 2)
+
+    g_cap = jax.grad(lambda p: loss(p, cap_cfg))(params)
+    g_pal = jax.grad(lambda p: loss(p, pal_cfg))(params)
+    flat_c, _ = ravel_pytree(g_cap)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_c), atol=5e-4, rtol=5e-4)
+
+
+def test_stacked_pallas_matches_stacked():
+    """moe_dispatch_stacked(use_pallas=True) == jnp path (EP bank dispatch)."""
+    from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked, stacked_expert_init
+
+    e, b = 4, 8
+    x = jax.random.normal(KEY, (b, H, W, C))
+    t = jnp.zeros((b, 4))
+    gate = jax.nn.one_hot(jnp.array([0, 1, 2, 3, 0, 1, 2, 3]), e)
+
+    def init_one(k):
+        return {"s": jax.random.normal(k, ())}
+
+    stacked = stacked_expert_init(jax.random.PRNGKey(5), e, init_one)
+
+    def apply_fn(p, xx, tt, txt, *, train=False, key=None):
+        return xx * p["s"]
+
+    ref = moe_dispatch_stacked(x, stacked, apply_fn, gate, t, None, capacity=b)
+    pal = moe_dispatch_stacked(x, stacked, apply_fn, gate, t, None, capacity=b,
+                               use_pallas=True, top_k=1)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), rtol=1e-6)
+
+    g_ref = jax.grad(lambda s: jnp.sum(moe_dispatch_stacked(
+        x, s, apply_fn, gate, t, None, capacity=b) ** 2))(stacked)
+    g_pal = jax.grad(lambda s: jnp.sum(moe_dispatch_stacked(
+        x, s, apply_fn, gate, t, None, capacity=b, use_pallas=True, top_k=1) ** 2))(stacked)
+    np.testing.assert_allclose(np.asarray(g_pal["s"]), np.asarray(g_ref["s"]), rtol=1e-5)
+
+
 def test_grouped_dispatch_matches_capacity():
     """Shape-class-grouped dispatch must equal plain capacity dispatch on the
     full heterogeneous model (flagship-style mixed kernels/patches)."""

@@ -395,6 +395,7 @@ class VitBlockCfg:
     gain_s: float = 1.0
     gain_t: float = 1.0
     use_flash: bool = False
+    attn_impl: Optional[str] = None  # overrides use_flash ("dense"|"flash"|"ring")
 
 
 def vit_block_init(key: jax.Array, cfg: VitBlockCfg) -> dict:
@@ -449,6 +450,7 @@ def vit_block_apply(
         attn_balance=cfg.attn_balance,
         is_cross_attn=False,
         use_flash=cfg.use_flash,
+        impl=cfg.attn_impl,
     )
     y = y.reshape(b * seq_ln, cfg.emb_dim)
     y = mp.mp_sum(y, res_attn, t=cfg.res_balance)
@@ -482,6 +484,7 @@ class VitExpertCfg:
     gain_s: float = 1.0
     gain_t: float = 1.0
     use_flash: bool = False
+    attn_impl: Optional[str] = None
 
     @property
     def block_cfg(self) -> VitBlockCfg:
@@ -497,6 +500,7 @@ class VitExpertCfg:
             gain_s=self.gain_s,
             gain_t=self.gain_t,
             use_flash=self.use_flash,
+            attn_impl=self.attn_impl,
         )
 
 

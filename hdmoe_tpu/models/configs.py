@@ -46,6 +46,10 @@ class HDMOEMConfig:
     dispatch: str = "dense"
     capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
     use_flash: bool = False  # Pallas flash-attention core on TPU
+    # Attention core selection: "auto" (flash iff use_flash), "dense",
+    # "flash", or "ring" (sequence-parallel over a mesh axis; needs an
+    # active ops.attention.ring_attention_context — 256x256+ configs).
+    attention_impl: str = "auto"
     compute_dtype: str = "float32"  # "float32" | "bfloat16" activation dtype
     # Rematerialize expert forwards in the backward pass (jax.checkpoint):
     # trades recompute for activation memory on the 256x256+ configs.
@@ -70,6 +74,13 @@ class HDMOEMConfig:
 
         cap = math.ceil(self.capacity_factor * batch_size * self.top_k / self.num_experts)
         return max(1, min(batch_size, cap))
+
+    @property
+    def attn_impl(self) -> str:
+        """Resolved attention core ("auto" defers to the use_flash flag)."""
+        if self.attention_impl != "auto":
+            return self.attention_impl
+        return "flash" if self.use_flash else "dense"
 
 
 def default_model_config(**overrides) -> HDMOEMConfig:

@@ -61,6 +61,7 @@ def _vit_expert_cfg(cfg: HDMOEMConfig, i: int) -> comp.VitExpertCfg:
         time_dim=cfg.time_emb_dim,
         text_dim=cfg.text_emb_dim,
         use_flash=cfg.use_flash,
+        attn_impl=cfg.attn_impl,
     )
 
 
@@ -252,12 +253,12 @@ def hdmoem_apply(
 
     out_final_attn = mp_attention_apply(
         params["cross_attn"], query, context=context, gain_s=1.0, gain_t=1.0,
-        num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, use_flash=cfg.use_flash,
+        num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, impl=cfg.attn_impl,
     )
     if text_emb is not None and "cross_attn_text" in params:
         final_feats = mp_attention_apply(
             params["cross_attn_text"], out_final_attn, context=text_emb, gain_s=1.0, gain_t=1.0,
-            num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, use_flash=cfg.use_flash,
+            num_heads=cfg.vit_num_heads, attn_balance=0.5, is_cross_attn=True, impl=cfg.attn_impl,
         )
         final_feats = out_final_attn + params["alpha_txt"] * (final_feats - out_final_attn)
     else:

@@ -15,19 +15,48 @@ Features preserved from the reference:
 - residual mix via ``mp_sum(residual, out, attn_balance)``
   (model_internals.py:409)
 
-Set ``use_flash=True`` to run the softmax(QK^T+bias)V core through the Pallas
-flash-attention kernel (ops/pallas/flash_attention.py) on TPU.
+The softmax(QK^T+bias)V core has three implementations, selected by ``impl``
+(or the legacy ``use_flash`` flag):
+
+- ``"dense"``: plain XLA einsum/softmax (the parity path);
+- ``"flash"``: Pallas blocked online-softmax kernel
+  (ops/pallas/flash_attention.py) — the single-chip memory-traffic fix;
+- ``"ring"``: sequence-parallel ring attention over a mesh axis
+  (ops/ring_attention.py) for the 256x256+ stretch configs. Requires an
+  active :func:`ring_attention_context`; sequences that do not divide the
+  mesh axis fall back to dense. Not usable inside vmapped expert banks
+  (shard_map cannot nest under vmap) — use dispatch "dense"/"capacity".
 """
 
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from hdmoe_tpu.ops import mp
+
+_RING_CTX: list = []  # trace-time stack of (mesh, axis)
+
+
+@contextmanager
+def ring_attention_context(mesh, axis: str = "data"):
+    """Declare the mesh axis that ``impl="ring"`` attention shards over.
+
+    Trace-time state (the model apply signature stays mesh-free); set it
+    around the jit/pjit trace of a forward that uses ring attention."""
+    _RING_CTX.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _RING_CTX.pop()
+
+
+def _ring_ctx():
+    return _RING_CTX[-1] if _RING_CTX else None
 
 
 def mp_attention_init(
@@ -79,6 +108,7 @@ def mp_attention_apply(
     attn_balance: float = 0.5,
     is_cross_attn: bool = False,
     use_flash: bool = False,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Attention forward on (B, L, C) sequences.
 
@@ -112,11 +142,21 @@ def mp_attention_apply(
     if not is_cross_attn:
         bias = _resolve_bias(params["rel_pos_bias"], seq_len)
 
-    if use_flash:
+    impl = impl or ("flash" if use_flash else "dense")
+    if impl == "ring":
+        ctx_ring = _ring_ctx()
+        n = ctx_ring[0].shape[ctx_ring[1]] if ctx_ring else 0
+        if ctx_ring is not None and seq_len % n == 0 and k.shape[2] % n == 0:
+            from hdmoe_tpu.ops.ring_attention import sequence_parallel_attention
+
+            out = sequence_parallel_attention(q, k, v, ctx_ring[0], ctx_ring[1], bias=bias)
+        else:  # no mesh context / indivisible sequence: exact dense fallback
+            impl = "dense"
+    if impl == "flash":
         from hdmoe_tpu.ops.pallas.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, bias=bias)
-    else:
+    elif impl == "dense":
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(head_dim)
         if bias is not None:

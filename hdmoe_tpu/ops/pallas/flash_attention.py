@@ -62,7 +62,9 @@ def _kernel_body(s, v, j, nk, o_ref, m_scr, l_scr, acc_scr, kv_len, block_k):
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     m_scr[...] = m_new
 
     @pl.when(j == nk - 1)
@@ -85,9 +87,13 @@ def _make_kernel(sm_scale, kv_len, block_k, with_bias):
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # Matmuls run in the INPUT dtype with fp32 accumulation (the MXU
+        # accumulates bf16 products in fp32 natively): casting operands to
+        # fp32 here quarters the MXU rate for bf16 activations (measured —
+        # the round-1 "flash neutral at the flagship" finding).
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * sm_scale
         if with_bias:
@@ -112,9 +118,13 @@ def _flash_forward(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool
     lk = k.shape[2]
     sm_scale = 1.0 / math.sqrt(d)
 
-    # Lane-width padding for tiny head dims (zero columns are inert).
-    if d < 128:
-        dp = 128
+    # Tiny head dims pad only to the 16-lane packing granule (zero columns
+    # are inert; Mosaic pads the lane axis internally). Padding all the way
+    # to 128 multiplies the QK^T/AV DMA bytes by 128/d and drags dead lanes
+    # through every pass — at the flagship's d=4 that made flash merely
+    # neutral vs the HBM-bound XLA path.
+    if d % 16 != 0:
+        dp = ((d + 15) // 16) * 16
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))

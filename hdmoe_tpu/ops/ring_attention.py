@@ -31,26 +31,38 @@ def ring_attention_local(
     v: jnp.ndarray,
     axis_name: str,
     axis_size: int,
+    bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-device ring attention body (call inside shard_map).
 
     q: (B, H, Lq_local, D); k/v: (B, H, Lk_local, D) — the local sequence
     shards. Returns the exact global-attention output for the local queries.
-    No bias support (rel-pos bias at ring scale would itself need sharding).
+
+    ``bias`` is the rel-pos bias with LOCAL query rows and GLOBAL key
+    columns, (H, Lq_local, Lk_global): each ring step slices the column
+    block belonging to the kv shard currently held (after ``step`` hops the
+    shard that originated on device ``i - step`` is resident), so the TMSA
+    blocks' learnable bias works unchanged under sequence parallelism.
     """
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     b, h, lq, _ = q.shape
+    lk = k.shape[2]
 
     m = jnp.full((b, h, lq, 1), -1e30, dtype=jnp.float32)
     l = jnp.zeros((b, h, lq, 1), dtype=jnp.float32)
     acc = jnp.zeros((b, h, lq, d), dtype=jnp.float32)
 
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    my_idx = lax.axis_index(axis_name)
 
     k_cur, v_cur = k, v
     for step in range(axis_size):
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur, preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            src = (my_idx - step) % axis_size  # origin device of the resident shard
+            b_blk = lax.dynamic_slice_in_dim(bias.astype(jnp.float32), src * lk, lk, axis=2)
+            s = s + b_blk[None]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -74,18 +86,29 @@ def sequence_parallel_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis: str = "data",
+    bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """softmax(QK^T/sqrt(d)) V with the sequence dim sharded over ``axis``.
+    """softmax(QK^T/sqrt(d) + bias) V with the sequence dim sharded over ``axis``.
 
     q/k/v: (B, H, L, D) global arrays; L must divide by the axis size.
+    ``bias`` (H, Lq, Lk) shards by query rows; key columns stay global and
+    are sliced per ring step.
     """
     n = mesh.shape[axis]
     assert q.shape[2] % n == 0 and k.shape[2] % n == 0, "seq must divide the mesh axis"
     spec = P(None, None, axis, None)
+    if bias is None:
+        fn = shard_map(
+            partial(ring_attention_local, axis_name=axis, axis_size=n),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )
+        return fn(q, k, v)
     fn = shard_map(
-        partial(ring_attention_local, axis_name=axis, axis_size=n),
+        lambda q_, k_, v_, b_: ring_attention_local(q_, k_, v_, axis_name=axis, axis_size=n, bias=b_),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(None, axis, None)),
         out_specs=spec,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, bias)

@@ -116,6 +116,11 @@ def _pad_axis(x, axis, mult):
 def _flash_forward(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # Small-head single-pass specialization (see _smallhead_kernel): softmax
+    # reductions over sublanes, whole K/V resident in VMEM, no online
+    # recurrence. The regime where the blocked kernel is VPU-bound.
+    if d <= 32 and lk <= 2048:
+        return _smallhead_forward(q, k, v, bias, block_q=min(block_q, 256), interpret=interpret)
     sm_scale = 1.0 / math.sqrt(d)
 
     # Tiny head dims pad only to the 16-lane packing granule (zero columns
@@ -179,6 +184,109 @@ def _flash_forward(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool
     )(*operands)
 
     return out.reshape(b, h, lqp, dp)[:, :, :lq, :d]
+
+
+# ---------------------------------------------------------------------------
+# Small-head specialization: scores transposed to (Lk, Lq).
+#
+# At tiny head dims (the flagship fusion attention: d=4, L=1024) the blocked
+# online-softmax kernel is VPU-bound, not MXU-bound — and its row reductions
+# (max/sum over the LANE axis) plus the per-kv-block rescale are the cost.
+# This kernel computes s^T = K q^T so the softmax reduction runs over the
+# SUBLANE axis (a native VPU reduction), holds ALL of K/V for one (b, h) in
+# VMEM (fits comfortably for Lk <= ~2048 at small d), and therefore needs no
+# online recurrence at all: one exp, two sublane reductions, two matmuls.
+# ---------------------------------------------------------------------------
+
+
+def _smallhead_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, kv_len):
+    q = q_ref[0]  # (block_q, dp)
+    k = k_ref[0]  # (Lk_pad, dp)
+    v = v_ref[0]  # (Lk_pad, dp)
+    # s^T: (Lk_pad, block_q) — contraction over d on the MXU
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    st = st * sm_scale
+    if st.shape[0] != kv_len:  # mask kv padding rows
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, _NEG_INF)
+    m = jnp.max(st, axis=0, keepdims=True)  # sublane reduction
+    p = jnp.exp(st - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    # out^T = V^T P : contract Lk (sublane axis of both) -> (dp, block_q)
+    ot = jax.lax.dot_general(v, p.astype(v.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (ot / l).astype(o_ref.dtype)
+
+
+def _smallhead_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, kv_len):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    st = st * sm_scale + bias_ref[0].astype(jnp.float32)  # bias pre-transposed (Lk, Lq)
+    if st.shape[0] != kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, _NEG_INF)
+    m = jnp.max(st, axis=0, keepdims=True)
+    p = jnp.exp(st - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    ot = jax.lax.dot_general(v, p.astype(v.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (ot / l).astype(o_ref.dtype)
+
+
+def _smallhead_forward(q, k, v, bias, *, block_q: int, interpret: bool):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    if d % 16 != 0:
+        dp = ((d + 15) // 16) * 16
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    else:
+        dp = d
+    block_q = max(8, min(block_q, lq))
+    q = _pad_axis(q, 2, block_q)
+    k = _pad_axis(k, 2, 16)  # sublane granule (bf16 packing)
+    v = _pad_axis(v, 2, 16)
+    lqp, lkp = q.shape[2], k.shape[2]
+    bh = b * h
+    qr = q.reshape(bh, lqp, dp)
+    kr = k.reshape(bh, lkp, dp)
+    vr = v.reshape(bh, lkp, dp)
+
+    grid = (bh, lqp // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda bhi, i: (bhi, i, 0)),
+        pl.BlockSpec((1, lkp, dp), lambda bhi, i: (bhi, 0, 0)),
+        pl.BlockSpec((1, lkp, dp), lambda bhi, i: (bhi, 0, 0)),
+    ]
+    operands = [qr, kr, vr]
+    if bias is not None:
+        bias_h = bias.shape[0]
+        # transpose to (H, Lk, Lq): the kernel's scores live transposed
+        bias_t = _pad_axis(_pad_axis(jnp.swapaxes(bias, 1, 2).astype(jnp.float32), 1, 16), 2, block_q)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, lkp, block_q),
+                (lambda bhi, i: (bhi % bias_h, 0, i)) if bias_h > 1 else (lambda bhi, i: (0, 0, i)),
+            )
+        )
+        operands.append(bias_t)
+        kernel = functools.partial(_smallhead_bias_kernel, sm_scale=sm_scale, kv_len=lk)
+    else:
+        kernel = functools.partial(_smallhead_kernel, sm_scale=sm_scale, kv_len=lk)
+
+    # output transposed per block: (bh, dp, lqp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, dp, lqp), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, dp, block_q), lambda bhi, i: (bhi, 0, i)),
+        interpret=interpret,
+    )(*operands)
+    return jnp.swapaxes(out.reshape(b, h, dp, lqp), 2, 3)[:, :, :lq, :d]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

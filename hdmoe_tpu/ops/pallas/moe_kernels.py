@@ -54,11 +54,19 @@ def _pad_cols(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _dispatch_kernel(idx_ref, x_hbm, out_ref, sems):
-    # x_hbm: (B, 1, F); out block: (_ROWS, 1, F) — the singleton axis makes
-    # every row its own (1, F) tile unit, which is what Mosaic requires for
-    # single-row HBM DMA (row slices of an (8,128)-tiled 2D array are not
-    # DMA-addressable).
+def _sublane(dtype) -> int:
+    """Packing granule of the second-minor axis: 8/itemsize-scaled — (8,128)
+    tiles for f32, (16,128) for bf16 (2 values per sublane), etc."""
+    return max(1, 4 // jnp.dtype(dtype).itemsize) if jnp.dtype(dtype).itemsize < 4 else 1
+
+
+def _dispatch_kernel(idx_ref, x_hbm, out_ref, sems, *, sub):
+    # x_hbm: (B, sub, F); out block: (_ROWS, sub, F) — the near-singleton
+    # axis makes every row its own (sub, F) tile unit, which is what Mosaic
+    # requires for single-row HBM DMA (row slices of an (8,128)-tiled 2D
+    # array are not DMA-addressable). ``sub`` is the packing granule of the
+    # dtype (1 for f32, 2 for bf16): slices along the second-minor axis must
+    # align to it.
     p = pl.program_id(0)
     copies = []
     for j in range(_ROWS):
@@ -78,21 +86,23 @@ def pallas_dispatch(x: jnp.ndarray, idx: jnp.ndarray, *, interpret: Optional[boo
     b, f = x.shape
     xp = _pad_cols(x)
     fp = xp.shape[-1]
+    sub = _sublane(x.dtype)
     flat_idx = _pad_rows(idx.reshape(-1, 1).astype(jnp.int32), _ROWS).reshape(-1)
     n = flat_idx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // _ROWS,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_ROWS, 1, fp), lambda p, idx_ref: (p, 0, 0)),
+        out_specs=pl.BlockSpec((_ROWS, sub, fp), lambda p, idx_ref: (p, 0, 0)),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_ROWS,))],
     )
+    src = jnp.broadcast_to(xp[:, None, :], (b, sub, fp)) if sub > 1 else xp[:, None, :]
     out = pl.pallas_call(
-        _dispatch_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 1, fp), x.dtype),
+        functools.partial(_dispatch_kernel, sub=sub),
+        out_shape=jax.ShapeDtypeStruct((n, sub, fp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(flat_idx, xp[:, None, :])
+    )(flat_idx, src)
     return out[: e * c, 0, :f].reshape(e, c, f)
 
 
@@ -209,8 +219,8 @@ def _combine_rows_bwd(res, g):
 combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
 
 
-def _combine_kernel(slots_ref, w_ref, contrib_hbm, out_ref, scratch, sems, *, top_k):
-    # contrib_hbm: (N, 1, F); scratch: (_ROWS*k, 1, F); out block: (_ROWS, 1, F)
+def _combine_kernel(slots_ref, w_ref, contrib_hbm, out_ref, scratch, sems, *, top_k, sub):
+    # contrib_hbm: (N, sub, F); scratch: (_ROWS*k, sub, F); out: (_ROWS, sub, F)
     p = pl.program_id(0)
     copies = []
     for j in range(_ROWS):
@@ -222,7 +232,7 @@ def _combine_kernel(slots_ref, w_ref, contrib_hbm, out_ref, scratch, sems, *, to
     for dma in copies:
         dma.wait()
     for j in range(_ROWS):
-        acc = jnp.zeros((1, scratch.shape[-1]), dtype=jnp.float32)
+        acc = jnp.zeros((sub, scratch.shape[-1]), dtype=jnp.float32)
         for t in range(top_k):
             w = w_ref[(p * _ROWS + j) * top_k + t]
             acc = acc + scratch[j * top_k + t].astype(jnp.float32) * w
@@ -247,6 +257,7 @@ def pallas_combine(
     n, f = contributions.shape
     cp = _pad_cols(contributions)
     fp = cp.shape[-1]
+    sub = _sublane(contributions.dtype)
     slots_p = _pad_rows(slots.astype(jnp.int32), _ROWS)
     w_p = _pad_rows(weights.astype(jnp.float32), _ROWS)
     bp = slots_p.shape[0]
@@ -254,17 +265,18 @@ def pallas_combine(
         num_scalar_prefetch=2,
         grid=(bp // _ROWS,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_ROWS, 1, fp), lambda p, slots_ref, w_ref: (p, 0, 0)),
+        out_specs=pl.BlockSpec((_ROWS, sub, fp), lambda p, slots_ref, w_ref: (p, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_ROWS * k, 1, fp), contributions.dtype),
+            pltpu.VMEM((_ROWS * k, sub, fp), contributions.dtype),
             pltpu.SemaphoreType.DMA((_ROWS * k,)),
         ],
     )
-    kernel = functools.partial(_combine_kernel, top_k=k)
+    kernel = functools.partial(_combine_kernel, top_k=k, sub=sub)
+    src = jnp.broadcast_to(cp[:, None, :], (cp.shape[0], sub, fp)) if sub > 1 else cp[:, None, :]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bp, 1, fp), contributions.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, sub, fp), contributions.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(slots_p.reshape(-1), w_p.reshape(-1), cp[:, None, :])
+    )(slots_p.reshape(-1), w_p.reshape(-1), src)
     return out[:b, 0, :f]

@@ -35,14 +35,15 @@ def log(*a):
 
 
 def timeit(fn, *args, n=20):
-    import numpy as np
-
+    # Device-side timing: block_until_ready only. NEVER np.asarray here —
+    # a D2H pull through the slow axon tunnel adds ~10 ms of transfer noise
+    # per sample and swamps the measurement.
     jax.block_until_ready(fn(*args))
     jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    np.asarray(jax.block_until_ready(r))  # force full materialization
+    jax.block_until_ready(r)
     return (time.perf_counter() - t0) / n
 
 

@@ -58,6 +58,57 @@ def test_extreme_logits_stable():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+def test_blocked_kernel_large_head_matches_reference():
+    """d > 32 bypasses the small-head specialization: the blocked
+    online-softmax kernel handles it (multi-kv-block path)."""
+    q, k, v = _qkv(lq=64, lk=128, d=48)
+    out = flash_attention(q, k, v, interpret=True, block_q=32, block_k=32)
+    ref = _attention_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    bias = jax.random.normal(jax.random.PRNGKey(8), (2, 64, 128))
+    out_b = flash_attention(q, k, v, bias, interpret=True, block_q=32, block_k=32)
+    ref_b = _attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=2e-5, rtol=2e-5)
+
+
+def test_smallhead_flagship_shape_bf16():
+    """The flagship fusion-attention regime: d=4, 8 heads, bf16. The
+    transposed small-head kernel must match the reference at bf16 tolerance
+    and stay finite under large logits."""
+    q, k, v = _qkv(b=2, h=8, lq=128, lk=128, d=4)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _attention_reference(q, k, v, None)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), atol=2e-2, rtol=2e-2
+    )
+    out_x = flash_attention(q * 30.0, k, v, interpret=True)
+    assert np.isfinite(np.asarray(out_x, dtype=np.float32)).all()
+
+
+def test_moe_kernels_bf16_roundtrip():
+    """bf16 dispatch/combine (sublane-2 packing): the near-singleton axis is
+    padded to the packing granule; values match the jnp path exactly."""
+    from hdmoe_tpu.ops.pallas.moe_kernels import combine_rows, combine_tables, dispatch_rows
+    from hdmoe_tpu.models.moe_stacked import expert_assignment
+
+    b, e = 8, 4
+    x = jax.random.normal(KEY, (b, 6, 6, 3)).astype(jnp.bfloat16)
+    gate = jax.nn.one_hot(jnp.arange(b) % e, e)
+    idx, w = expert_assignment(gate.astype(jnp.float32), b)
+    xg = dispatch_rows(x, idx)
+    np.testing.assert_array_equal(np.asarray(xg, dtype=np.float32), np.asarray(x[idx], dtype=np.float32))
+    slots, wt = combine_tables(idx, w, b, 1)
+    out = combine_rows(xg * 2.0, slots, wt)
+    ref = jnp.zeros_like(x).at[idx.reshape(-1)].add(
+        ((xg * 2.0) * w[..., None, None, None].astype(jnp.bfloat16)).reshape(e * b, 6, 6, 3)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), atol=1e-2, rtol=1e-2
+    )
+
+
 def test_gradients_match_reference():
     q, k, v = _qkv(lq=32, lk=32, d=8)
     bias = jax.random.normal(jax.random.PRNGKey(8), (2, 32, 32))

@@ -11,8 +11,13 @@ with a leading stage axis) across S devices on a mesh axis:
   s+1 — the classic GPipe fill/steady/drain diagram, with neighbor-only
   ICI traffic.
 
-Forward-only in this form (inference / sampling pipelines); training support
-(activation stashing + backward schedule) is a follow-up.
+TRAINING-CAPABLE: the tick loop is a ``lax.scan``, so reverse-mode AD
+through ``gpipe`` is exactly the GPipe backward schedule — ticks replay in
+reverse, each device re-enters its stage VJP for the microbatch it processed
+at that tick, cotangents ppermute one hop LEFT (the transpose of the forward
+rotation), and the per-tick activations are the scan residuals (the
+"activation stash"). No hand-written backward pass to maintain; grads are
+exact vs the sequential composition (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stag
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
     ticks = num_micro + num_stages - 1
 
-    def body(t, carry):
+    def body(carry, t):
         buf, outs = carry
         # device 0 ingests microbatch t from the input; others use the buffer
         feed_idx = jnp.clip(t, 0, num_micro - 1)
@@ -68,9 +73,11 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stag
         )
         # rotate activations one stage to the right
         buf = lax.ppermute(y, axis_name, perm)
-        return buf, outs
+        return (buf, outs), None
 
-    _, outs = lax.fori_loop(0, ticks, body, (buf, outs))
+    # scan (not fori_loop): reverse-mode AD through the scan IS the GPipe
+    # backward schedule, with the per-tick activations as residuals.
+    (_, outs), _ = lax.scan(body, (buf, outs), jnp.arange(ticks))
     # only the last device holds real outputs; zero elsewhere and psum to
     # replicate them across the pipeline axis
     outs = jnp.where(s == num_stages - 1, outs, 0.0)

@@ -9,12 +9,16 @@ record (latent 32x32x4, 4 U-Net + 4 ViT experts, top-1 routing).
 
 Two variants are measured:
 - ``parity``: float32, dense MoE dispatch — the bit-faithful configuration.
-- ``fast``: bfloat16 activations + fixed-capacity dispatch (cf=2.0, the
-  MoE-faithful sparse-compute path: top-1 routing computes ~2 experts' worth
-  of work instead of all 8) — the headline number. (Shape-class-grouped
-  bank dispatch measured slower at this scale — 110 vs 126 img/s — the
-  gather/scatter cost exceeds the launch savings; it remains available as
-  dispatch="grouped" for larger expert counts.)
+- ``fast``: bfloat16 + capacity dispatch at cf=1.0 + the small-head flash
+  attention kernel — the headline number (round-2 profile-driven: fusion
+  attention softmax HBM traffic was ~48% of eval time; the transposed
+  sublane-softmax kernel removes it, 9.75 -> 8.11 ms/eval, and cf 1.0
+  halves the routed compute vs cf 2.0, -> 6.31 ms/eval, 182 img/s).
+  cf=1.0 uses standard MoE serving capacity semantics (overflow tokens
+  drop to the skip connection); cf=2.0 keeps the no-drop guarantee at
+  ~142 img/s. Measured-slower alternatives (don't redo without new
+  evidence): grouped dispatch 110, batch 64 at cf2/no-flash 124,
+  dispatch="pallas" 8.93 ms/eval at this scale.
 
 The reference publishes no throughput numbers (BASELINE.md "published": {}),
 so ``vs_baseline`` is the speedup of the fast path over the parity variant
@@ -90,7 +94,9 @@ def main():
 
     from hdmoe_tpu.train.optim import project_mp_weights
 
-    fast_cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=2.0)
+    fast_cfg = replace(
+        base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=1.0, use_flash=True
+    )
     fast_ips, fast_ms, fast_wall = _measure(
         fast_cfg, project_mp_weights(params), text, noise, folded=True
     )

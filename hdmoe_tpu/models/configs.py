@@ -54,6 +54,11 @@ class HDMOEMConfig:
     # Rematerialize expert forwards in the backward pass (jax.checkpoint):
     # trades recompute for activation memory on the 256x256+ configs.
     remat_experts: bool = False
+    # Explicit all-to-all expert parallelism (parallel/ep.py): when True and
+    # an ep_context(mesh) is active, stacked-bank dispatch shards tokens
+    # over (data x expert) and exchanges them with lax.all_to_all instead of
+    # relying on GSPMD (which measured as all-gathering the weight banks).
+    ep_all_to_all: bool = False
     # "heterogeneous": per-expert kernel/patch sizes, separate compile units
     #   (the reference architecture).
     # "stacked": identical experts stacked on a leading axis -> true expert

@@ -191,7 +191,26 @@ def hdmoem_apply(
         top_k=cfg.top_k, train=train, key=keys[2],
     )
 
-    if cfg.expert_sharing == "stacked":
+    if cfg.expert_sharing == "stacked" and cfg.ep_all_to_all:
+        from hdmoe_tpu.parallel.ep import all_to_all_moe_dispatch, current_ep_context
+
+        ep_ctx = current_ep_context()
+        assert ep_ctx is not None, "ep_all_to_all=True needs an active ep_context(mesh)"
+        mesh_, daxis, eaxis = ep_ctx
+        cap = cfg.capacity(b)
+        out_unet_expert = all_to_all_moe_dispatch(
+            in_unet_router, params["unet_experts"]["stacked_experts"],
+            partial(_stacked_unet_fn, ecfg=_unet_expert_cfg(cfg, 0)),
+            out_unet_router, time_embed, text_emb, mesh_,
+            capacity=cap, data_axis=daxis, expert_axis=eaxis, train=train, key=keys[3],
+        )
+        out_vit_expert = all_to_all_moe_dispatch(
+            in_vit_router, params["vit_experts"]["stacked_experts"],
+            partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
+            out_vit_router, time_embed, text_emb, mesh_,
+            capacity=cap, data_axis=daxis, expert_axis=eaxis, train=train, key=keys[4],
+        )
+    elif cfg.expert_sharing == "stacked":
         from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
 
         cap = cfg.capacity(b)

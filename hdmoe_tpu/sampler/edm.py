@@ -94,6 +94,7 @@ def edm_sample(
     text_emb: Optional[jnp.ndarray],
     cfg: EDMSamplerConfig,
     key: Optional[jax.Array] = None,
+    return_trajectory: bool = False,
 ) -> jnp.ndarray:
     """Heun sampling loop as one ``lax.scan`` (EDM_Sampler.sample,
     EDM_sampler.py:72-109).
@@ -101,7 +102,13 @@ def edm_sample(
     Per step: optional churn renoise (gamma in [s_min, s_max] band), Euler
     predictor, and a 2nd-order trapezoidal corrector on all but the last
     step. Exactly 2N-1 denoiser evaluations, matching the reference NFE.
-    ``key`` is only needed when ``s_churn > 0``.
+    ``key`` is only needed when ``s_churn > 0``. The Heun update keeps the
+    reference's exact fp32 op order (``0.5*d_cur + 0.5*d_prime``,
+    EDM_sampler.py:107) so trajectories are comparable at float precision.
+
+    ``return_trajectory=True`` additionally returns the per-step states
+    (num_steps, *x.shape) — x after each Heun step — for the bit-grade
+    trajectory parity harness.
     """
     t_steps = karras_sigma_schedule(cfg)
     x0 = noise.astype(jnp.float32) * t_steps[0]
@@ -139,8 +146,10 @@ def edm_sample(
             return x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
 
         x_next = lax.cond(i < n - 1, correct, lambda x_e: x_e, x_euler)
-        return x_next, None
+        return x_next, (x_next if return_trajectory else None)
 
     xs = (jnp.arange(n), t_steps[:-1], t_steps[1:], step_keys)
-    x_final, _ = lax.scan(body, x0, xs)
+    x_final, traj = lax.scan(body, x0, xs)
+    if return_trajectory:
+        return x_final, traj
     return x_final

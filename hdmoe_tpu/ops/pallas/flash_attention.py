@@ -289,6 +289,206 @@ def _smallhead_forward(q, k, v, bias, *, block_q: int, interpret: bool):
     return jnp.swapaxes(out.reshape(b, h, dp, lqp), 2, 3)[:, :, :lq, :d]
 
 
+# ---------------------------------------------------------------------------
+# Fused backward (bias-free path).
+#
+# Standard flash backward with the per-row logsumexp RECOMPUTED by a cheap
+# dedicated kernel (one extra QK^T pass — keeps the forward kernels'
+# signatures untouched), then two accumulation kernels:
+#   dV = P^T dO,  dS = P o (dO V^T - D),  dK = dS^T Q * scale,
+#   dQ = dS K * scale,   with D = rowsum(dO o O), P = exp(S*scale - lse).
+# All kernels use the transposed (block_k, block_q) score orientation so the
+# broadcasts/reductions ride the sublane axis; matmuls run in the input
+# dtype with fp32 accumulation.
+#
+# Biased self-attention (the TMSA rel-pos path) keeps the XLA recompute
+# fallback: its bias gradient is a dense (H, Lq, Lk) tensor — materializing
+# it erases the memory win, and the TMSA sequences (<= (res/patch)^2) are
+# short enough for XLA. The long-sequence training path that matters
+# (text_guided_64's seq-4096 fusion cross-attention) is bias-free.
+# ---------------------------------------------------------------------------
+
+
+def _lse_kernel(q_ref, k_ref, lse_ref, m_scr, l_scr, *, sm_scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+
+    st = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # (block_k, block_q)
+    if kv_len % block_k != 0:
+        valid = kv_len - j * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < valid, st, _NEG_INF)
+    m_new = jnp.maximum(m_scr[...], jnp.max(st, axis=0, keepdims=True))
+    l_scr[...] = l_scr[...] * jnp.exp(m_scr[...] - m_new) + jnp.sum(jnp.exp(st - m_new), axis=0, keepdims=True)
+    m_scr[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _fin():
+        lse_ref[...] = m_scr[...] + jnp.log(l_scr[...])
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr, *, sm_scale, kv_len, block_k):
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+    j = pl.program_id(1)
+    if kv_len % block_k != 0:
+        valid = kv_len - j * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < valid, st, _NEG_INF)
+    p = jnp.exp(st - lse_ref[...])  # (block_k, block_q)
+    dv_scr[...] += jax.lax.dot(p.astype(do.dtype), do, preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - d_ref[...])  # (block_k, block_q)
+    dk_scr[...] += jax.lax.dot(ds.astype(q.dtype), q, preferred_element_type=jnp.float32) * sm_scale
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, dq_scr,
+                   *, sm_scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+    if kv_len % block_k != 0:
+        valid = kv_len - j * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < valid, st, _NEG_INF)
+    p = jnp.exp(st - lse_ref[...])
+    dp = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - d_ref[...])  # (block_k, block_q)
+    # dq += ds^T K * scale: contract the block_k sublane axis of both
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+
+    @pl.when(j == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, interpret: bool):
+    """Fused dq/dk/dv for bias-free attention. Shapes like the forward."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    if d % 16 != 0:
+        dp_ = ((d + 15) // 16) * 16
+        pad4 = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, dp_ - d)))  # noqa: E731
+        q, k, v, out, g = pad4(q), pad4(k), pad4(v), pad4(out), pad4(g)
+    else:
+        dp_ = d
+    block_q = max(8, min(block_q, lq))
+    block_k = max(8, min(block_k, lk))
+    q = _pad_axis(q, 2, block_q)
+    out = _pad_axis(out, 2, block_q)
+    g = _pad_axis(g, 2, block_q)
+    k = _pad_axis(k, 2, block_k)
+    v = _pad_axis(v, 2, block_k)
+    lqp, lkp = q.shape[2], k.shape[2]
+    bh = b * h
+    qr, kr, vr = (t.reshape(bh, -1, dp_) for t in (q, k, v))
+    outr, gr = (t.reshape(bh, lqp, dp_) for t in (out, g))
+
+    # D = rowsum(dO o O) — cheap elementwise + reduce, jnp is fine.
+    dvec = jnp.sum(gr.astype(jnp.float32) * outr.astype(jnp.float32), axis=-1)  # (bh, lqp)
+
+    nq, nk = lqp // block_q, lkp // block_k
+    lse = pl.pallas_call(
+        functools.partial(_lse_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, lqp), jnp.float32),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),
+        scratch_shapes=[pltpu.VMEM((1, block_q), jnp.float32), pltpu.VMEM((1, block_q), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr)
+
+    row_specs = [
+        pl.BlockSpec((1, block_q, dp_), lambda bhi, j, i: (bhi, i, 0)),  # q
+        pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),  # k
+        pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),  # v
+        pl.BlockSpec((1, block_q, dp_), lambda bhi, j, i: (bhi, i, 0)),  # do
+        pl.BlockSpec((1, block_q), lambda bhi, j, i: (bhi, i)),          # lse
+        pl.BlockSpec((1, block_q), lambda bhi, j, i: (bhi, i)),          # D
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lkp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((bh, lkp, dp_), q.dtype),
+        ),
+        grid=(bh, nk, nq),
+        in_specs=row_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp_), jnp.float32),
+            pltpu.VMEM((block_k, dp_), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, gr, lse, dvec)
+
+    q_specs = [
+        pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),  # q
+        pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),  # k
+        pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),  # v
+        pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),  # do
+        pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),          # lse
+        pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),          # D
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp_), q.dtype),
+        grid=(bh, nq, nk),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, dp_), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr, vr, gr, lse, dvec)
+
+    dq = dq.reshape(b, h, lqp, dp_)[:, :, :lq, :d]
+    dk = dk.reshape(b, h, lkp, dp_)[:, :, :lk, :d]
+    dv = dv.reshape(b, h, lkp, dp_)[:, :, :lk, :d]
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, bias, block_q, block_k, interpret):
     return _flash_forward(q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret)
@@ -296,19 +496,27 @@ def _flash(q, k, v, bias, block_q, block_k, interpret):
 
 def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
     out = _flash_forward(q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret)
-    return out, (q, k, v, bias)
+    return out, (q, k, v, bias, out)
 
 
 def _flash_bwd(block_q, block_k, interpret, residuals, g):
-    q, k, v, bias = residuals
-    has_bias = bias is not None
+    q, k, v, bias, out = residuals
+    if bias is None:
+        # Fused Pallas backward: no (Lq, Lk) materialization, lse recomputed.
+        dq, dk, dv = _flash_backward_nobias(
+            q, k, v, out, g, block_q=block_q, block_k=block_k, interpret=interpret
+        )
+        return dq, dk, dv, None
 
+    # Biased (TMSA rel-pos) path: XLA recompute — the bias gradient is a
+    # dense (H, Lq, Lk) tensor, so a fused kernel saves nothing; TMSA
+    # sequences are short ((res/patch)^2).
     def ref(q_, k_, v_, b_):
-        return _attention_reference(q_, k_, v_, b_ if has_bias else None)
+        return _attention_reference(q_, k_, v_, b_)
 
     _, vjp = jax.vjp(ref, q, k, v, bias)
     dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, (dbias if has_bias else None)
+    return dq, dk, dv, dbias
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

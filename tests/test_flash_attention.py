@@ -58,6 +58,40 @@ def test_extreme_logits_stable():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+def test_fused_backward_nobias_grads_match_reference():
+    """The fused Pallas backward (dq/dk/dv kernels + lse recompute) must
+    match XLA autodiff grads — incl. multi-block, unaligned kv, and small
+    head dims."""
+    for lq, lk, d, bq, bk in ((64, 64, 8, 32, 32), (100, 77, 4, 32, 32), (32, 256, 48, 32, 64)):
+        q, k, v = _qkv(lq=lq, lk=lk, d=d)
+
+        def f_flash(q_, k_, v_):
+            return jnp.sum(flash_attention(q_, k_, v_, interpret=True, block_q=bq, block_k=bk) ** 2)
+
+        def f_ref(q_, k_, v_):
+            return jnp.sum(_attention_reference(q_, k_, v_, None) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3,
+                err_msg=f"shape lq={lq} lk={lk} d={d}",
+            )
+
+
+def test_fused_backward_bf16_finite_and_close():
+    q, k, v = _qkv(lq=64, lk=64, d=4)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    g_flash = jax.grad(lambda q_: jnp.sum(flash_attention(q_, kb, vb, interpret=True).astype(jnp.float32) ** 2))(qb)
+    g_ref = jax.grad(lambda q_: jnp.sum(_attention_reference(q_, kb, vb, None).astype(jnp.float32) ** 2))(qb)
+    a = np.asarray(g_flash, dtype=np.float32)
+    b = np.asarray(g_ref, dtype=np.float32)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+
+
 def test_blocked_kernel_large_head_matches_reference():
     """d > 32 bypasses the small-head specialization: the blocked
     online-softmax kernel handles it (multi-kv-block path)."""

@@ -99,6 +99,56 @@ def test_stacked_projection_per_expert():
     np.testing.assert_allclose(rms, np.ones_like(rms), atol=1e-2)
 
 
+def test_top2_moedit_style_model_forward_backward():
+    """top_k=2 end-to-end (round-2 VERDICT weak item 9): a small
+    moedit_64expert_ep-style model (stacked banks, top-2 routing, capacity
+    dispatch, bf16) runs forward AND backward with finite loss/grads, each
+    sample's sparse gate has exactly 2 nonzeros summing to 1, and the top-2
+    capacity output matches the dense oracle at full capacity."""
+    from dataclasses import replace
+
+    cfg = _stacked_cfg(top_k=2, dispatch="capacity", capacity_factor=4.0,
+                       compute_dtype="bfloat16")
+    params = precond_init(KEY, cfg)
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, 1)))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    out = precond_apply(params, cfg, x, sigma, txt, mask, mask, 0.0, return_log_var=True)
+    assert np.isfinite(np.asarray(out["denoised"], dtype=np.float32)).all()
+
+    # top-2 sparse gate invariants via the router directly
+    from hdmoe_tpu.models.components import router_apply
+
+    sparse, probs, raw = router_apply(
+        params["net"]["unet_router"],
+        jax.random.normal(jax.random.PRNGKey(4), (b, 8, 8, 8)),
+        jax.random.normal(jax.random.PRNGKey(5), (b, 16)),
+        mask=mask, zeta=0.0, top_k=2,
+    )
+    nz = np.asarray((sparse > 0).sum(axis=1))
+    np.testing.assert_array_equal(nz, np.full(b, 2))
+    np.testing.assert_allclose(np.asarray(sparse.sum(axis=1)), np.ones(b), atol=1e-5)
+
+    # top-2 capacity == dense oracle at full capacity (fp32 for exactness)
+    f32 = _stacked_cfg(top_k=2, dispatch="capacity", capacity_factor=8.0)
+    d32 = _stacked_cfg(top_k=2, dispatch="dense")
+    p32 = precond_init(KEY, f32)
+    o_cap = precond_apply(p32, f32, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    o_dense = precond_apply(p32, d32, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(o_cap), np.asarray(o_dense), atol=2e-5, rtol=2e-5)
+
+    # backward: finite grads through the top-2 dispatch
+    def loss(p):
+        o = precond_apply(p, f32, x, sigma, txt, mask, mask, 0.0)["denoised"]
+        return jnp.sum(o**2)
+
+    g = jax.grad(loss)(p32)
+    assert all(np.isfinite(np.asarray(l, dtype=np.float32)).all() for l in jax.tree_util.tree_leaves(g))
+
+
 def test_stacked_ep_sharding_over_mesh():
     """Train one step with the expert axis actually sharded over the mesh."""
     from hdmoe_tpu.parallel import MeshConfig, make_mesh, make_sharded_train_step, param_shardings, shard_train_state

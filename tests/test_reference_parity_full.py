@@ -311,6 +311,103 @@ def test_sampler_trajectory_parity():
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(got)), ref_final, rtol=5e-3, atol=5e-3)
 
 
+def test_full_config1_parity():
+    """config1 weight-ported parity (round-2 VERDICT weak item 10): the
+    learned Scaling_router + dynamic query/context swap fusion path
+    (model_config1.py:277-283) pinned numerically to the reference."""
+    import models.model_config1 as ref_config1  # noqa: E402 (reference)
+
+    torch.manual_seed(3)
+    ref_kw = dict(
+        IN_in_channels=4, IN_img_resolution=8, internal_channels=8,
+        time_emb_dim=16, text_emb_dim=12, num_experts=2, top_k=1,
+        Fourier_bandwidth=1.0, VIT_num_blocks=1, VIT_patch_sizes=[2, 4],
+        VIT_num_groups=4, VIT_num_heads=4, VIT_emb_size=16, Unet_num_blocks=1,
+        Unet_channel_mult=[1, 2], Unet_kernel_sizes=[(3, 3), (5, 5)],
+        Unet_model_channels=8, Unet_channel_mult_emb=2, sigma_data=0.5,
+        log_var_channels=8,
+    )
+    ref_mod = ref_config1.preconditioned_HDMOEM(**ref_kw).eval()
+    with torch.no_grad():
+        for e in list(ref_mod.net.Unet_experts):
+            e.out_gain.copy_(torch.tensor(1.0))
+        ref_mod.net.alpha_txt.copy_(torch.tensor(0.3))
+        for v in list(ref_mod.net.VIT_experts):
+            v.pos_emb.copy_(torch.randn_like(v.pos_emb) * 0.1)
+
+    cfg = HDMOEMConfig(
+        in_channels=4, img_resolution=8, internal_channels=8, time_emb_dim=16,
+        text_emb_dim=12, num_experts=2, top_k=1, fourier_bandwidth=1.0,
+        vit_num_blocks=1, vit_patch_sizes=(2, 4), vit_num_groups=4,
+        vit_num_heads=4, vit_emb_size=16, unet_num_blocks=1,
+        unet_channel_mult=(1, 2), unet_kernel_sizes=((3, 3), (5, 5)),
+        unet_model_channels=8, unet_channel_mult_emb=2, sigma_data=0.5,
+        log_var_channels=8, variant="config1",
+    )
+    net = ref_mod.net
+    scaling = net.scaling_net
+    params = {
+        "log_var_fourier": {
+            "freqs": jnp.asarray(t2n(ref_mod.log_var_fourier.freqs)),
+            "phases": jnp.asarray(t2n(ref_mod.log_var_fourier.phases)),
+        },
+        "log_var_linear": _conv(ref_mod.log_var_linear),
+        "net": {
+            "input_proj": _conv(net.input_proj),
+            "fourier": {
+                "freqs": jnp.asarray(t2n(net.Fourier_emb.freqs)),
+                "phases": jnp.asarray(t2n(net.Fourier_emb.phases)),
+            },
+            "out_fourier1": _conv(net.out_fourier1),
+            "out_fourier2": _conv(net.out_fourier2),
+            "unet_router": _router(net.Unet_router),
+            "vit_router": _router(net.vit_router),
+            "alpha_txt": jnp.asarray(t2n(net.alpha_txt)),
+            "unet_experts": [
+                _unet_expert(net.Unet_experts[i], _unet_expert_cfg(cfg, i)) for i in range(2)
+            ],
+            "vit_experts": [_vit_expert(net.VIT_experts[i]) for i in range(2)],
+            "cross_attn": _attn(net.cross_attn),
+            "cross_attn_text": _attn(net.cross_attn_text),
+            "gate1": _conv(net.gate1),
+            "gate2": _conv(net.gate2),
+            "output_proj": _conv(net.output_proj),
+            "scaling_net": {
+                "fc1": _conv(scaling.soft_route[0]),
+                "gn1": _norm(scaling.soft_route[1]),
+                "fc2": _conv(scaling.soft_route[3]),
+                "gn2": _norm(scaling.soft_route[4]),
+                "out": _conv(scaling.linear),
+            },
+        },
+    }
+
+    b = 3
+    x = torch.randn(b, 4, 8, 8)
+    sigma = torch.exp(torch.randn(b, 1, 1, 1) * 1.2)
+    txt = torch.randn(b, 7, 12)
+    mask = torch.ones(b, 2)
+
+    ref_out = ref_mod(
+        x=x, sigma=sigma, text_emb=txt, Unet_router_mask=mask, Vit_router_mask=mask,
+        zeta=0.0, return_log_var=True,
+    )
+    got = precond_apply(
+        params, cfg, jnp.asarray(nchw_to_nhwc(t2n(x))), jnp.asarray(t2n(sigma)),
+        jnp.asarray(t2n(txt)), jnp.asarray(t2n(mask)), jnp.asarray(t2n(mask)), 0.0,
+        return_log_var=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["scaling_net_out"]), t2n(ref_out["scaling_net_out"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        nhwc_to_nchw(np.asarray(got["denoised"])), t2n(ref_out["denoised"]), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["log_var"]).reshape(-1), t2n(ref_out["log_var"]).reshape(-1), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_sampler_trajectory_parity_bitgrade_18_steps():
     """Per-STEP fp32 trajectory parity at the full 18 Heun steps (35 NFE) —
     the BASELINE.md "bit-compatible fp32 sampler trajectories" contract,

@@ -65,11 +65,17 @@ class CLIPTextEmbedder:
 
             src = self.local_path or self.embed_name
             self.tokenizer = CLIPTokenizer.from_pretrained(src)
-            self.model = FlaxCLIPTextModel.from_pretrained(src)
+            try:
+                self.model = FlaxCLIPTextModel.from_pretrained(src)
+            except Exception:
+                # torch-format weights (what the reference downloads,
+                # VAE_CLIP.py:100): transformers converts on load.
+                self.model = FlaxCLIPTextModel.from_pretrained(src, from_pt=True)
         except Exception as e:
             raise RuntimeError(
-                f"CLIP weights unavailable ({e}); use FakeCLIP for hermetic runs "
-                f"or provide local_path to cached weights."
+                f"CLIP weights unavailable ({e}); use FakeCLIP for hermetic runs, "
+                f"provide local_path to cached weights, or run "
+                f"scripts/port_vae_clip.py to convert a torch checkpoint."
             ) from e
         return self
 

@@ -141,11 +141,17 @@ class StabilityVAE:
             from diffusers import FlaxAutoencoderKL
 
             src = self.local_path or self.vae_name
-            self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src)
-        except Exception as e:  # zero-egress env or missing flax weights
+            try:
+                self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src)
+            except Exception:
+                # torch-format weights (what the reference downloads,
+                # VAE_CLIP.py:29): diffusers converts the state dict on load.
+                self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src, from_pt=True)
+        except Exception as e:  # zero-egress env or missing weights
             raise RuntimeError(
-                f"SD-VAE weights unavailable ({e}); use FakeVAE for hermetic runs "
-                f"or provide local_path to cached Flax weights."
+                f"SD-VAE weights unavailable ({e}); use FakeVAE for hermetic runs, "
+                f"provide local_path to cached weights, or run "
+                f"scripts/port_vae_clip.py to convert a torch checkpoint."
             ) from e
         return self
 

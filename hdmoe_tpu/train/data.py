@@ -116,6 +116,42 @@ def torchvision_dataset(name: str, root: str, resolution: int):
     return _Wrap(pairs)
 
 
+class ImageFolderDataset:
+    """Real-image dataset from a directory tree of PNG/JPEG files (PIL).
+
+    The reference trains on torchvision Flowers-102 (training.py:226-239);
+    this environment ships neither torchvision nor the dataset, so the
+    real-data path reads any local image folder (e.g. an extracted
+    Flowers-102 ``jpg/`` directory) — recursive scan, deterministic order,
+    resize to ``resolution``, uint8 NHWC.
+    """
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+    def __init__(self, root: str, resolution: int = 256):
+        import os
+
+        self.resolution = resolution
+        self.files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.lower().endswith(self.EXTS)
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.files[idx % len(self.files)]) as im:
+            im = im.convert("RGB").resize((self.resolution, self.resolution), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
+
+
 def make_dataset(name: str = "synthetic", resolution: int = 256, root: str = "./data", seed: int = 0):
     if name == "synthetic":
         return SyntheticDataset(resolution=resolution, seed=seed)
@@ -125,7 +161,18 @@ def make_dataset(name: str = "synthetic", resolution: int = 256, root: str = "./
         if native_available():
             return NativeSyntheticDataset(resolution=resolution, seed=seed)
         return SyntheticDataset(resolution=resolution, seed=seed)
-    return torchvision_dataset(name, root, resolution)
+    if name == "imagefolder":
+        return ImageFolderDataset(root, resolution)
+    if name in ("flowers102", "cifar10"):
+        try:
+            return torchvision_dataset(name, root, resolution)
+        except ImportError:
+            # torchvision absent: fall back to a local image folder laid out
+            # at <root>/<name> (e.g. the extracted Flowers-102 jpgs).
+            import os
+
+            return ImageFolderDataset(os.path.join(root, name), resolution)
+    raise ValueError(f"unknown dataset '{name}'")
 
 
 def batch_iterator(

@@ -88,6 +88,30 @@ def _cmd_smoke(args):
     smoke_main(args.steps)
 
 
+def _cmd_fid(args):
+    import json
+
+    from hdmoe_tpu.models import default_model_config
+    from hdmoe_tpu.obs.fid import fid_from_checkpoint
+
+    if args.preset:
+        from hdmoe_tpu.train import presets
+
+        builder = presets.PRESETS.get(args.preset)
+        if builder is None:
+            sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+        cfg = builder()[0]
+    else:
+        cfg = default_model_config()
+    out = fid_from_checkpoint(
+        cfg, args.checkpoint, dataset_name=args.dataset, data_root=args.data_root,
+        resolution=args.resolution, n=args.n, batch=args.batch_size,
+        num_steps=args.steps, tower=args.tower, vae=args.vae, text=args.text_encoder,
+        prompt=args.prompt, seed=args.seed,
+    )
+    print(json.dumps(out))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hdmoe_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -125,6 +149,22 @@ def main(argv=None):
     p_smoke = sub.add_parser("smoke", help="hermetic end-to-end smoke run")
     p_smoke.add_argument("--steps", type=int, default=5)
     p_smoke.set_defaults(fn=_cmd_smoke)
+
+    p_fid = sub.add_parser("fid", help="FID @ n between a checkpoint's samples and a dataset")
+    p_fid.add_argument("checkpoint")
+    p_fid.add_argument("--preset", default="")
+    p_fid.add_argument("--dataset", default="synthetic")
+    p_fid.add_argument("--data-root", default="./data")
+    p_fid.add_argument("--resolution", type=int, default=256)
+    p_fid.add_argument("--n", type=int, default=50_000)
+    p_fid.add_argument("--batch-size", type=int, default=32)
+    p_fid.add_argument("--steps", type=int, default=18)
+    p_fid.add_argument("--tower", default="auto", choices=["auto", "clip", "random"])
+    p_fid.add_argument("--vae", default="fake")
+    p_fid.add_argument("--text-encoder", default="fake")
+    p_fid.add_argument("--prompt", default="a photo of a flower")
+    p_fid.add_argument("--seed", type=int, default=0)
+    p_fid.set_defaults(fn=_cmd_fid)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,215 @@
+"""True-FID evaluation harness: feature towers + streaming 50k pipeline.
+
+Completes the "FID parity @ 50k" north star (BASELINE.md) on top of
+obs/metrics.py's Fréchet machinery. The reference has no quantitative sample
+evaluation at all (SURVEY.md §6).
+
+Feature towers (pluggable ``feature_fn: uint8 NHWC -> (B, D) float``):
+
+- :class:`ClipImageFeatures` — the CLIP ViT-L/14 image tower (frozen,
+  transformers Flax). CLIP-FID is a published, widely adopted replacement
+  for Inception-FID (Kynkäänniemi et al. 2022, "The Role of ImageNet
+  Classes in FID") and is this framework's tower of record: the
+  environment ships transformers but NOT torchvision/pytorch-fid, so the
+  2016 Inception checkpoint cannot be loaded here, while CLIP weights plug
+  in through the same local-path mechanism as the text tower
+  (scripts/port_vae_clip.py). Gated on weight availability.
+- :class:`RandomConvFeatures` — a fixed-seed untrained deep conv tower
+  (always available, jitted). Random-feature Fréchet distances track
+  distributional drift and are the hermetic stand-in for tests and relative
+  comparisons; absolute values are not comparable to published FIDs.
+
+Harness: :func:`fid_evaluate` streams BOTH sides — generated batches pulled
+from a sampler callable, real batches from a dataset iterator — through
+``gaussian_stats`` accumulators, so 50k images never sit in memory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from hdmoe_tpu.obs.metrics import frechet_distance, gaussian_stats
+
+
+class RandomConvFeatures:
+    """Deterministic untrained conv tower: uint8 NHWC -> (B, dim) features.
+
+    5 stride-2 conv stages (fixed orthogonal-ish Gaussian filters, fixed
+    seed) + leaky-relu + global mean/max pooling. Jitted; any resolution
+    >= 32."""
+
+    def __init__(self, dim: int = 512, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(seed)
+        chans = [3, 32, 64, 128, 256, dim // 2]
+        self._filters = [
+            jnp.asarray(
+                rng.randn(3, 3, chans[i], chans[i + 1]).astype(np.float32)
+                / np.sqrt(9 * chans[i])
+            )
+            for i in range(5)
+        ]
+
+        def fwd(x):
+            h = x.astype(jnp.float32) / 127.5 - 1.0
+            for w in self._filters:
+                h = jax.lax.conv_general_dilated(
+                    h, w, window_strides=(2, 2), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                h = jax.nn.leaky_relu(h, 0.2)
+            mean = h.mean(axis=(1, 2))
+            mx = h.max(axis=(1, 2))
+            return jnp.concatenate([mean, mx], axis=-1)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, imgs: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(imgs))
+
+
+class ClipImageFeatures:
+    """Frozen CLIP ViT-L/14 image tower -> pooled embedding (CLIP-FID).
+
+    Weights load from ``local_path`` (or the HF id when cached); raises a
+    clear error otherwise — tests gate on availability."""
+
+    def __init__(self, model_name: str = "openai/clip-vit-large-patch14",
+                 local_path: Optional[str] = None):
+        self.model_name = model_name
+        self.local_path = local_path
+        self._model = None
+        self._fwd = None
+
+    def init(self):
+        if self._model is not None:
+            return self
+        import jax
+        import jax.numpy as jnp
+        from transformers import FlaxCLIPVisionModel
+
+        src = self.local_path or self.model_name
+        try:
+            self._model = FlaxCLIPVisionModel.from_pretrained(src)
+        except Exception:
+            self._model = FlaxCLIPVisionModel.from_pretrained(src, from_pt=True)
+
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+        size = self._model.config.image_size
+
+        def fwd(x):
+            h = x.astype(jnp.float32) / 255.0
+            h = jax.image.resize(h, (h.shape[0], size, size, 3), method="bilinear")
+            h = (h - mean) / std
+            out = self._model(pixel_values=h.transpose(0, 3, 1, 2))
+            return out.pooler_output
+
+        self._fwd = jax.jit(fwd)
+        return self
+
+    def __call__(self, imgs: np.ndarray) -> np.ndarray:
+        self.init()
+        return np.asarray(self._fwd(imgs))
+
+
+def fid_evaluate(
+    sample_fn: Callable[[int], np.ndarray],
+    real_batches: Iterator[np.ndarray],
+    feature_fn: Callable[[np.ndarray], np.ndarray],
+    n: int = 50_000,
+    batch: int = 64,
+    progress: Optional[Callable[[str], None]] = None,
+) -> float:
+    """Streaming FID over ``n`` generated and ``n`` real images.
+
+    ``sample_fn(batch) -> uint8 NHWC`` generates a batch (e.g. a
+    serve.SamplerEngine wrapper); ``real_batches`` yields uint8 NHWC batches
+    (e.g. train.data.batch_iterator). Memory is O(batch + D^2)."""
+
+    def gen_stream():
+        done = 0
+        while done < n:
+            take = min(batch, n - done)
+            imgs = np.asarray(sample_fn(take))[:take]
+            done += len(imgs)
+            if progress and done % (batch * 16) < batch:
+                progress(f"generated {done}/{n}")
+            yield feature_fn(imgs)
+
+    def real_stream():
+        done = 0
+        for imgs in real_batches:
+            take = min(len(imgs), n - done)
+            done += take
+            yield feature_fn(np.asarray(imgs)[:take])
+            if done >= n:
+                return
+        raise ValueError(f"real dataset exhausted at {done} < {n} images")
+
+    mu_g, cov_g = gaussian_stats(gen_stream())
+    mu_r, cov_r = gaussian_stats(real_stream())
+    return frechet_distance(mu_r, cov_r, mu_g, cov_g)
+
+
+def fid_from_checkpoint(
+    cfg,
+    checkpoint_dir: str,
+    dataset_name: str = "synthetic",
+    data_root: str = "./data",
+    resolution: int = 256,
+    n: int = 50_000,
+    batch: int = 32,
+    num_steps: int = 18,
+    tower: str = "auto",
+    vae: str = "fake",
+    text: str = "fake",
+    prompt: str = "a photo of a flower",
+    seed: int = 0,
+) -> dict:
+    """End-to-end FID: restore a checkpoint, sample ``n`` images through the
+    AOT engine, stream real images from the dataset, compute FID with the
+    requested tower ('clip' | 'random' | 'auto' = clip if weights load)."""
+    import jax
+
+    from hdmoe_tpu.serve import SamplerEngine
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.data import batch_iterator, make_dataset
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    ckpt = CheckpointManager(checkpoint_dir)
+    from hdmoe_tpu.models import precond_init
+
+    params = jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0))
+    state, _, _ = ckpt.restore(init_train_state(params, OptimConfig()), jax.random.PRNGKey(0))
+    engine = SamplerEngine(cfg, state.params, batch=batch, num_steps=num_steps,
+                           vae_kind=vae, text_kind=text)
+
+    if tower == "random":
+        feature_fn: Callable = RandomConvFeatures()
+        tower_used = "random-conv"
+    else:
+        try:
+            feature_fn = ClipImageFeatures().init()
+            tower_used = "clip-vit-l14"
+        except Exception:
+            if tower == "clip":
+                raise
+            feature_fn = RandomConvFeatures()
+            tower_used = "random-conv"
+
+    counter = iter(range(1 << 62))
+
+    def sample_fn(k: int) -> np.ndarray:
+        return engine.sample([prompt] * k, seed=seed + next(counter))
+
+    ds = make_dataset(dataset_name, resolution=resolution, root=data_root, seed=seed)
+    real = batch_iterator(ds, batch, seed=seed)
+    fid = fid_evaluate(sample_fn, real, feature_fn, n=n, batch=batch,
+                       progress=lambda s: print(s, flush=True))
+    return {"fid": fid, "tower": tower_used, "n": n, "nfe": 2 * num_steps - 1}

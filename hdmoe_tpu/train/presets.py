@@ -105,6 +105,10 @@ def moedit_64expert_ep(total_steps: int = 5000, mesh: MeshConfig = MeshConfig(da
         unet_kernel_sizes=((3, 3),) * 64, vit_patch_sizes=(8,) * 64,
         expert_sharing="stacked", dispatch="capacity", capacity_factor=2.0,
         compute_dtype="bfloat16",
+        # explicit all-to-all token exchange over ICI (parallel/ep.py) —
+        # plain GSPMD all-gathers the 64-expert banks (HLO-verified,
+        # tests/test_ep_collectives.py)
+        ep_all_to_all=True,
     )
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=64, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)

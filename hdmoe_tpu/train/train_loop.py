@@ -135,10 +135,23 @@ def training_hdmoe(
     step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
                               unet_mask_gen, vit_mask_gen, zeta_sched)
     data_target = None  # where host batches land (single device or mesh-sharded)
+    import contextlib
+
+    trace_ctx = contextlib.ExitStack()  # mesh contexts live through tracing
     if run.mesh is not None:
         from hdmoe_tpu.parallel.sharding import batch_sharding
 
         mesh = make_mesh(run.mesh)
+        # config-driven mesh contexts: explicit all-to-all EP dispatch and
+        # ring (sequence-parallel) attention read these at trace time.
+        if getattr(model_cfg, "ep_all_to_all", False):
+            from hdmoe_tpu.parallel.ep import ep_context
+
+            trace_ctx.enter_context(ep_context(mesh))
+        if model_cfg.attn_impl == "ring":
+            from hdmoe_tpu.ops.attention import ring_attention_context
+
+            trace_ctx.enter_context(ring_attention_context(mesh, "data"))
         state = shard_train_state(state, mesh)
         jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
         data_target = batch_sharding(mesh, 4)
@@ -204,6 +217,7 @@ def training_hdmoe(
         if run.save_interval and step > 0 and step % run.save_interval == 0:
             ckpt.save(state, key, mse=current_mse, configs=configs_blob)
 
+    trace_ctx.close()
     ckpt.save(state, key, mse=current_mse, configs=configs_blob)
     ckpt.close()
     if ema is not None:

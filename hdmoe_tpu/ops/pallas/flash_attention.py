@@ -331,7 +331,7 @@ def _lse_kernel(q_ref, k_ref, lse_ref, m_scr, l_scr, *, sm_scale, kv_len, block_
 
     @pl.when(j == nk - 1)
     def _fin():
-        lse_ref[...] = m_scr[...] + jnp.log(l_scr[...])
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_ref, dv_ref,
@@ -354,10 +354,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_ref, dv_ref,
         valid = kv_len - j * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         st = jnp.where(row < valid, st, _NEG_INF)
-    p = jnp.exp(st - lse_ref[...])  # (block_k, block_q)
+    p = jnp.exp(st - lse_ref[0])  # (block_k, block_q)
     dv_scr[...] += jax.lax.dot(p.astype(do.dtype), do, preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - d_ref[...])  # (block_k, block_q)
+    ds = p * (dp - d_ref[0])  # (block_k, block_q)
     dk_scr[...] += jax.lax.dot(ds.astype(q.dtype), q, preferred_element_type=jnp.float32) * sm_scale
 
     @pl.when(i == nq - 1)
@@ -384,9 +384,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, dq_scr,
         valid = kv_len - j * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         st = jnp.where(row < valid, st, _NEG_INF)
-    p = jnp.exp(st - lse_ref[...])
+    p = jnp.exp(st - lse_ref[0])
     dp = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - d_ref[...])  # (block_k, block_q)
+    ds = p * (dp - d_ref[0])  # (block_k, block_q)
     # dq += ds^T K * scale: contract the block_k sublane axis of both
     dq_scr[...] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -422,18 +422,20 @@ def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, inter
     outr, gr = (t.reshape(bh, lqp, dp_) for t in (out, g))
 
     # D = rowsum(dO o O) — cheap elementwise + reduce, jnp is fine.
-    dvec = jnp.sum(gr.astype(jnp.float32) * outr.astype(jnp.float32), axis=-1)  # (bh, lqp)
+    # (bh, 1, lqp): the singleton middle axis keeps Mosaic block shapes legal
+    # (a (1, block_q) 2D block fails the (8, 128) divisibility rule).
+    dvec = jnp.sum(gr.astype(jnp.float32) * outr.astype(jnp.float32), axis=-1)[:, None, :]
 
     nq, nk = lqp // block_q, lkp // block_k
     lse = pl.pallas_call(
         functools.partial(_lse_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((bh, lqp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, 1, lqp), jnp.float32),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),
             pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),
+        out_specs=pl.BlockSpec((1, 1, block_q), lambda bhi, i, j: (bhi, 0, i)),
         scratch_shapes=[pltpu.VMEM((1, block_q), jnp.float32), pltpu.VMEM((1, block_q), jnp.float32)],
         interpret=interpret,
     )(qr, kr)
@@ -443,8 +445,8 @@ def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, inter
         pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),  # k
         pl.BlockSpec((1, block_k, dp_), lambda bhi, j, i: (bhi, j, 0)),  # v
         pl.BlockSpec((1, block_q, dp_), lambda bhi, j, i: (bhi, i, 0)),  # do
-        pl.BlockSpec((1, block_q), lambda bhi, j, i: (bhi, i)),          # lse
-        pl.BlockSpec((1, block_q), lambda bhi, j, i: (bhi, i)),          # D
+        pl.BlockSpec((1, 1, block_q), lambda bhi, j, i: (bhi, 0, i)),    # lse
+        pl.BlockSpec((1, 1, block_q), lambda bhi, j, i: (bhi, 0, i)),    # D
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),
@@ -470,8 +472,8 @@ def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, inter
         pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),  # k
         pl.BlockSpec((1, block_k, dp_), lambda bhi, i, j: (bhi, j, 0)),  # v
         pl.BlockSpec((1, block_q, dp_), lambda bhi, i, j: (bhi, i, 0)),  # do
-        pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),          # lse
-        pl.BlockSpec((1, block_q), lambda bhi, i, j: (bhi, i)),          # D
+        pl.BlockSpec((1, 1, block_q), lambda bhi, i, j: (bhi, 0, i)),    # lse
+        pl.BlockSpec((1, 1, block_q), lambda bhi, i, j: (bhi, 0, i)),    # D
     ]
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, kv_len=lk, block_k=block_k),

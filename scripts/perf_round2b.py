@@ -48,7 +48,10 @@ def train_step_text64():
     from hdmoe_tpu.models import precond_init
 
     model, optim, loss, mask, run = text_guided_64()
-    b = 16
+    # batch 4: the DENSE variant at batch 16 needs (16,8,4096,4096) fp32
+    # logits + backward residuals = 26.9 GB > 15.75 GB HBM (measured OOM) —
+    # itself the flash-backward motivation; batch 4 lets both variants fit.
+    b = 4
     umask = MaskGenerator(expert_attributes=tuple(mask["unet_attr"]), p_mean=-1.2, p_std=1.6)
     vmask = MaskGenerator(expert_attributes=tuple(mask["vit_attr"]), p_mean=-1.2, p_std=1.6)
     zeta = ZetaSchedule(total_steps=5000, max_zeta=2.0, min_zeta=0.01)

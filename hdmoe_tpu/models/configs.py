@@ -51,6 +51,14 @@ class HDMOEMConfig:
     # active ops.attention.ring_attention_context — 256x256+ configs).
     attention_impl: str = "auto"
     compute_dtype: str = "float32"  # "float32" | "bfloat16" activation dtype
+    # Conv lowering (ops/mp.py:conv_layout):
+    #   "xla"      lax.conv on NHWC
+    #   "pallas"   VMEM-im2col Pallas kernel for stride-1 odd convs
+    #              (ops/pallas/conv.py), XLA elsewhere
+    #   "im2col_t" explicit transposed im2col matmul (measured slower than
+    #              the XLA conv — HBM patch materialization; kept as the
+    #              documented control, artifacts/profile_r2/conv_layout2.json)
+    conv_impl: str = "xla"
     # Rematerialize expert forwards in the backward pass (jax.checkpoint):
     # trades recompute for activation memory on the 256x256+ configs.
     remat_experts: bool = False

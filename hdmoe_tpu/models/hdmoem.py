@@ -17,6 +17,7 @@ functions jit cleanly; train-time stochasticity consumes explicit PRNG keys.
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 from typing import Optional
 
@@ -151,6 +152,17 @@ def hdmoem_apply(
         (out, unet_gate_probs, unet_raw, vit_gate_probs, vit_raw,
          scaling_factors, out_gate)
     """
+    if cfg.conv_impl != "xla":
+        # Trace-time conv lowering selection (ops/mp.py:conv_layout); the
+        # context wraps the whole forward so every MP conv under it lowers
+        # the same way.
+        with mp.conv_layout(cfg.conv_impl):
+            return hdmoem_apply(
+                params, replace(cfg, conv_impl="xla"), x, time_vec, text_emb,
+                unet_router_mask, vit_router_mask, zeta,
+                transition_point=transition_point, softness=softness,
+                alpha_routing=alpha_routing, train=train, key=key,
+            )
     b, h, w, c = x.shape
     keys = jax.random.split(key, 5) if (train and key is not None) else [None] * 5
 

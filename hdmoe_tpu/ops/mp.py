@@ -47,6 +47,27 @@ def prenormalized_weights():
     finally:
         _WEIGHTS_PRENORMALIZED = prev
 
+
+# Trace-time switch for the conv lowering. "xla" is lax.conv_general_dilated
+# on NHWC activations; "im2col_t" lowers stride-1 convs to an explicit
+# transposed im2col matmul  out^T = W(O, C*kh*kw) @ patches(C*kh*kw, tokens)
+# so the large token dimension sits on the MXU lanes — the XLA conv puts the
+# output channels there, capping lane use at O/128 for the small-O convs
+# (O in {4, 32, 64}) that dominate the flagship denoiser (PERF.md).
+_CONV_IMPL = "xla"
+
+
+@contextlib.contextmanager
+def conv_layout(impl: str):
+    assert impl in ("xla", "im2col_t", "pallas"), impl
+    global _CONV_IMPL
+    prev = _CONV_IMPL
+    _CONV_IMPL = impl
+    try:
+        yield
+    finally:
+        _CONV_IMPL = prev
+
 # ---------------------------------------------------------------------------
 # Stateless magnitude-preserving ops
 # ---------------------------------------------------------------------------
@@ -251,6 +272,13 @@ def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jn
     else:
         pad_h = (kh // 2, kh // 2)
         pad_w = (kw // 2, kw // 2)
+    if _CONV_IMPL == "im2col_t":
+        return _conv_im2col_t(x, w, stride, pad_h, pad_w)
+    if _CONV_IMPL == "pallas":
+        from hdmoe_tpu.ops.pallas import conv as pallas_conv
+
+        if pallas_conv.supported(x.shape, w.shape, stride):
+            return _pallas_conv_ad(x, w)
     return lax.conv_general_dilated(
         x,
         w,
@@ -258,6 +286,56 @@ def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jn
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
     )
+
+
+def _xla_same_conv(x, w):
+    """The stride-1 'same' XLA conv (odd kernels), used as the AD reference
+    for the Pallas forward."""
+    kh, kw = w.shape[-2], w.shape[-1]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+    return lax.conv_general_dilated(
+        x, w, (1, 1), pad, dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+@jax.custom_vjp
+def _pallas_conv_ad(x, w):
+    from hdmoe_tpu.ops.pallas import conv as pallas_conv
+
+    return pallas_conv.conv_same(x, w)
+
+
+def _pallas_conv_fwd(x, w):
+    return _pallas_conv_ad(x, w), (x, w)
+
+
+def _pallas_conv_bwd(res, g):
+    # Exact grads via the XLA conv's own VJP (the Pallas forward computes the
+    # identical function). The backward stays XLA: sampling — the hot path
+    # this kernel exists for — never differentiates.
+    x, w = res
+    _, vjp = jax.vjp(_xla_same_conv, x, w)
+    return vjp(g)
+
+
+_pallas_conv_ad.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
+
+
+def _conv_im2col_t(x, w, stride, pad_h, pad_w):
+    """Transposed im2col conv: one (O, C*kh*kw) @ (C*kh*kw, tokens) matmul
+    per image, tokens on the MXU lanes (see ``conv_layout``). Same math as
+    the XLA conv (patch features are channel-major, matching OIHW)."""
+    b = x.shape[0]
+    o, kh, kw = w.shape[0], w.shape[-2], w.shape[-1]
+    xn = jnp.transpose(x, (0, 3, 1, 2))
+    p = lax.conv_general_dilated_patches(
+        xn, (kh, kw), (stride, stride), (pad_h, pad_w),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (B, C*kh*kw, Ho, Wo)
+    ho, wo = p.shape[2], p.shape[3]
+    p = p.reshape(b, p.shape[1], ho * wo)
+    y = jnp.einsum("ok,bkn->bon", w.reshape(o, -1), p,
+                   preferred_element_type=jnp.float32)
+    return jnp.transpose(y.astype(x.dtype).reshape(b, o, ho, wo), (0, 2, 3, 1))
 
 
 # ---------------------------------------------------------------------------

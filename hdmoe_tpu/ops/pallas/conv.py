@@ -1,0 +1,97 @@
+"""Pallas stride-1 'same' convolution with VMEM-resident im2col.
+
+Why this kernel exists (measured, artifacts/profile_r2/conv_layout2.json):
+XLA:TPU lowers these convs through an HBM-materialized patch matrix — conv
+wall time tracks the k^2-amplified patch traffic, not FLOPs (the 151-MFLOP
+32-channel 3x3 conv runs at 8.7 TF/s while a matmul of identical shape runs
+at 38 TF/s). Here the patch matrix is built INSIDE VMEM from k*k
+statically-shifted copies of the (C, H*W) image, so HBM sees only the
+activation in and out, and the single (kh*kw*C, HW)-by-(kh*kw*C, O) matmul
+runs at the transposed-matmul roofline (tokens on the MXU lanes).
+
+Layout notes (Mosaic): activations stream in pre-flattened as (B, C, H*W) —
+an in-kernel (C, H, W) -> (C, H*W) reshape is an unsupported sublane->lane
+shape cast ("infer-vector-layout" error on real TPU), while the outside
+reshape is metadata-only in row-major. The 2D spatial shifts become flat
+lane rolls with iota masks killing row-wrap contamination and edge padding.
+
+Replaces the hot expert/projection convs of the reference denoiser
+(/root/reference/models/model_internals.py:240-275) when
+HDMOEMConfig.conv_impl == "pallas"; ops/mp.py:mp_conv_apply routes here and
+falls back to the XLA conv outside this kernel's scope (stride != 1, even
+kernels, lane-unfriendly spatial sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _shift_flat(xf: jnp.ndarray, oy: int, ox: int, w: int) -> jnp.ndarray:
+    """out[c, i*w+j] = x[c, (i+oy)*w + (j+ox)], zero outside the image.
+
+    ``xf`` is (C, H*W) row-major; the roll crosses row boundaries, so column
+    validity is masked with a lane iota (rows wrapping past either end are
+    masked by the flat-range check)."""
+    hw = xf.shape[1]
+    s = oy * w + ox
+    rolled = jnp.roll(xf, -s, axis=1) if s != 0 else xf
+    j = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+    valid = (j + s >= 0) & (j + s < hw)
+    if ox != 0:
+        col = jax.lax.rem(j, w)
+        valid &= (col + ox >= 0) & (col + ox < w)
+    return jnp.where(valid, rolled, jnp.zeros_like(rolled))
+
+
+def _conv_same_kernel(x_ref, w_ref, o_ref, *, kh, kw, img_w):
+    x = x_ref[0]  # (C, H*W)
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            cols.append(_shift_flat(x, dy - ph, dx - pw, img_w))
+    pat = jnp.concatenate(cols, axis=0)  # (kh*kw*C, HW) — sublane-major taps
+    # out^T (O, HW): contract the tap axis (sublanes of both operands)
+    out = jax.lax.dot_general(w_ref[...], pat, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def supported(x_shape, w_shape, stride: int) -> bool:
+    """Scope gate: stride-1 odd square kernels on lane-aligned spatial."""
+    if stride != 1 or len(w_shape) != 4:
+        return False
+    _, h, w, _ = x_shape
+    o, c, kh, kw = w_shape
+    return (kh == kw and kh % 2 == 1 and kh > 1
+            and (h * w) % 128 == 0 and h * w >= 256)
+
+
+def conv_same(x: jnp.ndarray, w: jnp.ndarray,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """NHWC stride-1 'same' conv, OIHW weights — drop-in for the XLA conv."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, wd, c = x.shape
+    o, _, kh, kw = w.shape
+    # (kh, kw, C, O) rows match the kernel's (dy, dx, c) tap order.
+    wmat = jnp.transpose(w, (2, 3, 1, 0)).reshape(kh * kw * c, o).astype(x.dtype)
+    xn = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, h * wd)
+    out = pl.pallas_call(
+        functools.partial(_conv_same_kernel, kh=kh, kw=kw, img_w=wd),
+        out_shape=jax.ShapeDtypeStruct((b, o, h * wd), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h * wd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((kh * kw * c, o), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, o, h * wd), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(xn, wmat)
+    return jnp.transpose(out.reshape(b, o, h, wd), (0, 2, 3, 1))

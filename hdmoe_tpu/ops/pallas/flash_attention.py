@@ -119,8 +119,10 @@ def _flash_forward(q, k, v, bias, *, block_q: int, block_k: int, interpret: bool
     # Small-head single-pass specialization (see _smallhead_kernel): softmax
     # reductions over sublanes, whole K/V resident in VMEM, no online
     # recurrence. The regime where the blocked kernel is VPU-bound.
-    if d <= 32 and lk <= 2048:
-        return _smallhead_forward(q, k, v, bias, block_q=min(block_q, 256), interpret=interpret)
+    if d <= 32 and lk <= 4096:
+        return _smallhead_forward(
+            q, k, v, bias, block_q=min(block_q, 256 if lk <= 2048 else 128),
+            interpret=interpret)
     sm_scale = 1.0 / math.sqrt(d)
 
     # Tiny head dims pad only to the 16-lane packing granule (zero columns
@@ -309,6 +311,122 @@ def _smallhead_forward(q, k, v, bias, *, block_q: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
+def _smallhead_bwd_kernel(q_ref, k_ref, v_ref, dot_ref, ot_ref, dq_ref, dk_ref, dv_ref,
+                          dk_scr, dv_scr, *, sm_scale, kv_len):
+    """Single-pass transposed backward (see _smallhead_backward).
+
+    Scores live (Lk, block_q) like the small-head forward, so softmax and the
+    D = rowsum(dO o O) reduction both ride the sublane axis; dO/O arrive
+    PRE-TRANSPOSED (dp, block_q) to make that native. K/V (and the dk/dv
+    fp32 accumulators) stay VMEM-resident across the whole q sweep of one
+    (b, h) — lse is re-derived from the in-VMEM scores, so there is no
+    separate lse pass, no D pass, and no dq pass: one kernel, grid (bh, nq),
+    versus the generic 3-pass x (bh, nq, nk) pipeline whose per-block work at
+    tiny d is dwarfed by grid/DMA overhead (measured 231 ms vs 42 ms dense on
+    the text_guided_64 train step before this kernel existed)."""
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]      # (block_q, dp)
+    k = k_ref[0]      # (Lk_pad, dp)
+    v = v_ref[0]      # (Lk_pad, dp)
+    dot_ = dot_ref[0]  # (dp, block_q) = dO^T
+    ot = ot_ref[0]     # (dp, block_q) = O^T
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * sm_scale  # (Lk, bq)
+    if st.shape[0] != kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, _NEG_INF)
+    m = jnp.max(st, axis=0, keepdims=True)
+    p = jnp.exp(st - m)
+    pn = p / jnp.sum(p, axis=0, keepdims=True)  # P^T, normalized (Lk, bq)
+    pnl = pn.astype(v.dtype)
+    # dV = P^T dO: contract block_q (lanes of both pn and dO^T)
+    dv_scr[...] += jax.lax.dot_general(pnl, dot_, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    # (dP)^T = V dO^T
+    dpt = jax.lax.dot(v, dot_, preferred_element_type=jnp.float32)  # (Lk, bq)
+    drow = jnp.sum(dot_.astype(jnp.float32) * ot.astype(jnp.float32),
+                   axis=0, keepdims=True)  # (1, bq) = D
+    ds = (pn * (dpt - drow)).astype(k.dtype)  # (dS)^T, scale applied post-matmul
+    dk_scr[...] += jax.lax.dot(ds, q, preferred_element_type=jnp.float32) * sm_scale
+    # dQ = dS K: contract Lk (sublane axis of both)
+    dq = jax.lax.dot_general(ds, k, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _smallhead_backward(q, k, v, out, g, *, block_q: int, interpret: bool):
+    """Fused dq/dk/dv for small head dims (d <= 32) with K/V VMEM-resident.
+
+    Shapes like the forward; one pallas_call total."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    if d % 16 != 0:
+        dp_ = ((d + 15) // 16) * 16
+        pad4 = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, dp_ - d)))  # noqa: E731
+        q, k, v, out, g = pad4(q), pad4(k), pad4(v), pad4(out), pad4(g)
+    else:
+        dp_ = d
+    block_q = max(8, min(block_q, lq))
+    q = _pad_axis(q, 2, block_q)
+    out = _pad_axis(out, 2, block_q)
+    g = _pad_axis(g, 2, block_q)
+    k = _pad_axis(k, 2, 16)
+    v = _pad_axis(v, 2, 16)
+    lqp, lkp = q.shape[2], k.shape[2]
+    bh = b * h
+    qr, kr, vr = (t.reshape(bh, -1, dp_) for t in (q, k, v))
+    # dO / O streamed pre-transposed so D rides the sublane axis in-kernel.
+    gt = jnp.swapaxes(g.reshape(bh, lqp, dp_), 1, 2)
+    ot = jnp.swapaxes(out.reshape(bh, lqp, dp_), 1, 2)
+
+    nq = lqp // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_smallhead_bwd_kernel, sm_scale=sm_scale, kv_len=lk),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lqp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((bh, lkp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((bh, lkp, dp_), q.dtype),
+        ),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp_), lambda bhi, i: (bhi, i, 0)),  # q
+            pl.BlockSpec((1, lkp, dp_), lambda bhi, i: (bhi, 0, 0)),      # k
+            pl.BlockSpec((1, lkp, dp_), lambda bhi, i: (bhi, 0, 0)),      # v
+            pl.BlockSpec((1, dp_, block_q), lambda bhi, i: (bhi, 0, i)),  # dO^T
+            pl.BlockSpec((1, dp_, block_q), lambda bhi, i: (bhi, 0, i)),  # O^T
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dp_), lambda bhi, i: (bhi, i, 0)),
+            pl.BlockSpec((1, lkp, dp_), lambda bhi, i: (bhi, 0, 0)),
+            pl.BlockSpec((1, lkp, dp_), lambda bhi, i: (bhi, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lkp, dp_), jnp.float32),
+            pltpu.VMEM((lkp, dp_), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, gt, ot)
+
+    dq = dq.reshape(b, h, lqp, dp_)[:, :, :lq, :d]
+    dk = dk.reshape(b, h, lkp, dp_)[:, :, :lk, :d]
+    dv = dv.reshape(b, h, lkp, dp_)[:, :, :lk, :d]
+    return dq, dk, dv
+
+
 def _lse_kernel(q_ref, k_ref, lse_ref, m_scr, l_scr, *, sm_scale, kv_len, block_k):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -401,6 +519,13 @@ def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, inter
     """Fused dq/dk/dv for bias-free attention. Shapes like the forward."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if d <= 32 and lk <= 4096:
+        # Single-pass transposed kernel; block_q sized so the ~5 live
+        # (Lk, block_q) fp32 score temporaries stay inside the 16 MB scoped
+        # VMEM limit (block_q=128 at Lk=4096 compiled standalone but blew
+        # the limit by 4.3 MB inside the text_guided_64 train step).
+        block_q_sh = 256 if lk <= 1024 else (128 if lk <= 2048 else 64)
+        return _smallhead_backward(q, k, v, out, g, block_q=block_q_sh, interpret=interpret)
     sm_scale = 1.0 / math.sqrt(d)
 
     if d % 16 != 0:

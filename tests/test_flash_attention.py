@@ -169,3 +169,25 @@ def test_mp_attention_use_flash_parity():
     ref = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=False)
     out = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_smallhead_single_pass_backward_multiblock():
+    """The single-pass small-head backward (d <= 32): dk/dv accumulate in
+    VMEM across q blocks and write once; covers multi-q-block, unaligned lq,
+    and the lk > 2048 block_q=128 regime gate."""
+    for lq, lk, d in ((300, 128, 4), (64, 2100, 8)):
+        q, k, v = _qkv(lq=lq, lk=lk, d=d)
+
+        def f_flash(q_, k_, v_):
+            return jnp.sum(flash_attention(q_, k_, v_, interpret=True) ** 2)
+
+        def f_ref(q_, k_, v_):
+            return jnp.sum(_attention_reference(q_, k_, v_, None) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3,
+                err_msg=f"lq={lq} lk={lk} d={d}",
+            )

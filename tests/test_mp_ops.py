@@ -181,3 +181,52 @@ def test_pos_encoding_shapes():
     params = mp.pos_encoding_init(jax.random.PRNGKey(21), emb_dim=64, freq_emb_dim=32)
     y = mp.pos_encoding_apply(params, jnp.arange(5.0))
     assert y.shape == (5, 64)
+
+
+def test_conv_layout_im2col_t_matches_xla():
+    """conv_layout("im2col_t") is numerically the same conv (transposed
+    im2col matmul lowering — MXU-lane optimization, PERF.md)."""
+    rs = np.random.RandomState(3)
+    for (cin, cout, k, stride, hw) in [
+        (32, 32, 3, 1, 16), (64, 32, 5, 1, 8), (4, 32, 3, 1, 16),
+        (32, 4, 3, 1, 16), (32, 64, 4, 2, 16), (16, 16, 1, 1, 8),
+    ]:
+        params = mp.mp_conv_init(jax.random.PRNGKey(k + cin), cin, cout, (k, k))
+        x = jnp.asarray(rs.randn(2, hw, hw, cin).astype(np.float32))
+        ref = mp.mp_conv_apply(params, x, gain=1.3, stride=stride)
+        with mp.conv_layout("im2col_t"):
+            got = mp.mp_conv_apply(params, x, gain=1.3, stride=stride)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                                   err_msg=f"cin={cin} cout={cout} k={k} s={stride}")
+
+
+def test_conv_layout_pallas_matches_xla_and_grads():
+    """conv_layout("pallas") — VMEM-im2col kernel (interpret mode on CPU):
+    values match the XLA conv; grads are exact (custom_vjp routes the
+    backward through the XLA conv's own VJP). Unsupported shapes (stride 2,
+    even kernels) silently fall back to the XLA path."""
+    rs = np.random.RandomState(5)
+    for (cin, cout, k, hw) in [(32, 32, 3, 16), (16, 8, 5, 16), (4, 32, 3, 32)]:
+        params = mp.mp_conv_init(jax.random.PRNGKey(k * cin), cin, cout, (k, k))
+        x = jnp.asarray(rs.randn(2, hw, hw, cin).astype(np.float32))
+        ref = mp.mp_conv_apply(params, x, gain=0.7)
+        with mp.conv_layout("pallas"):
+            got = mp.mp_conv_apply(params, x, gain=0.7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                                   err_msg=f"cin={cin} cout={cout} k={k}")
+
+        def loss(p, impl):
+            with mp.conv_layout(impl):
+                return jnp.sum(mp.mp_conv_apply(p, x, gain=0.7) ** 2)
+
+        g_ref = jax.grad(loss)(params, "xla")["mpw"]
+        g_pal = jax.grad(loss)(params, "pallas")["mpw"]
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=2e-4, rtol=2e-4)
+
+    # fallback shapes keep working under the context
+    p2 = mp.mp_conv_init(jax.random.PRNGKey(0), 8, 8, (4, 4))
+    x2 = jnp.asarray(rs.randn(2, 8, 8, 8).astype(np.float32))
+    with mp.conv_layout("pallas"):
+        out2 = mp.mp_conv_apply(p2, x2, stride=2)
+    assert out2.shape == (2, 5, 5, 8)  # stride-2 k//2 'same': floor((8+4-4)/2)+1

@@ -64,13 +64,22 @@ def _conv_same_kernel(x_ref, w_ref, o_ref, *, kh, kw, img_w):
 
 
 def supported(x_shape, w_shape, stride: int) -> bool:
-    """Scope gate: stride-1 odd square kernels on lane-aligned spatial."""
+    """Scope gate: stride-1 odd square kernels on lane-aligned spatial with
+    sublane-tileable input channels (C % 16: the kernel concatenates k*k
+    (C, HW) pieces along sublanes — sub-granule offsets hit Mosaic's
+    'Sublane broadcast: not implemented' on real TPU at C=4), restricted to
+    the classes where it measured faster than the XLA conv
+    (artifacts/profile_r2/conv_layout3.json): big spatial (HW >= 1024,
+    where XLA's HBM patch traffic dominates) or 5x5 taps (25x
+    amplification); small-spatial 3x3 convs stay XLA (6.0 us vs 7.3)."""
     if stride != 1 or len(w_shape) != 4:
         return False
     _, h, w, _ = x_shape
     o, c, kh, kw = w_shape
     return (kh == kw and kh % 2 == 1 and kh > 1
-            and (h * w) % 128 == 0 and h * w >= 256)
+            and c % 16 == 0
+            and (h * w) % 128 == 0
+            and (h * w >= 1024 or kh >= 5) and h * w >= 256)
 
 
 def conv_same(x: jnp.ndarray, w: jnp.ndarray,

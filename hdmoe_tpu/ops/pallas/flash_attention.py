@@ -342,9 +342,12 @@ def _smallhead_bwd_kernel(q_ref, k_ref, v_ref, dot_ref, ot_ref, dq_ref, dk_ref, 
     if st.shape[0] != kv_len:
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         st = jnp.where(row < kv_len, st, _NEG_INF)
+    # lse first, then ONE normalized exp — keeps a single (Lk, bq) fp32
+    # probability buffer live instead of p and p/l side by side (scoped
+    # VMEM is the binding constraint at Lk=4096).
     m = jnp.max(st, axis=0, keepdims=True)
-    p = jnp.exp(st - m)
-    pn = p / jnp.sum(p, axis=0, keepdims=True)  # P^T, normalized (Lk, bq)
+    lse = m + jnp.log(jnp.sum(jnp.exp(st - m), axis=0, keepdims=True))
+    pn = jnp.exp(st - lse)  # P^T, normalized (Lk, bq)
     pnl = pn.astype(v.dtype)
     # dV = P^T dO: contract block_q (lanes of both pn and dO^T)
     dv_scr[...] += jax.lax.dot_general(pnl, dot_, (((1,), (1,)), ((), ())),
@@ -418,6 +421,7 @@ def _smallhead_backward(q, k, v, out, g, *, block_q: int, interpret: bool):
             pltpu.VMEM((lkp, dp_), jnp.float32),
             pltpu.VMEM((lkp, dp_), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qr, kr, vr, gt, ot)
 
@@ -520,12 +524,13 @@ def _flash_backward_nobias(q, k, v, out, g, *, block_q: int, block_k: int, inter
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if d <= 32 and lk <= 4096:
-        # Single-pass transposed kernel; block_q sized so the ~5 live
-        # (Lk, block_q) fp32 score temporaries stay inside the 16 MB scoped
-        # VMEM limit (block_q=128 at Lk=4096 compiled standalone but blew
-        # the limit by 4.3 MB inside the text_guided_64 train step).
-        block_q_sh = 256 if lk <= 1024 else (128 if lk <= 2048 else 64)
-        return _smallhead_backward(q, k, v, out, g, block_q=block_q_sh, interpret=interpret)
+        # Single-pass transposed kernel. block_q stays >= 128 (the lowering
+        # requires the trailing block dim divide 128); at Lk=4096 the ~5
+        # live (Lk, 128) fp32 score temporaries need ~20 MB of scoped VMEM,
+        # above the conservative 16 MB default — raised via compiler params
+        # inside _smallhead_backward.
+        return _smallhead_backward(
+            q, k, v, out, g, block_q=256 if lk <= 2048 else 128, interpret=interpret)
     sm_scale = 1.0 / math.sqrt(d)
 
     if d % 16 != 0:

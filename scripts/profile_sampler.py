@@ -63,7 +63,9 @@ def main():
         key, (BATCH, base_cfg.img_resolution, base_cfg.img_resolution, base_cfg.in_channels)
     )
 
-    cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=2.0)
+    # the current fast config (round-2d): bf16 + cf1.0 + small-head flash
+    cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity",
+                  capacity_factor=1.0, use_flash=True)
     fparams = project_mp_weights(params)
 
     def precond_fn(x, sigma, text_emb, m1, m2, zeta, transition_point, softness):

@@ -207,7 +207,7 @@ def test_conv_layout_pallas_matches_xla_and_grads():
     backward through the XLA conv's own VJP). Unsupported shapes (stride 2,
     even kernels) silently fall back to the XLA path."""
     rs = np.random.RandomState(5)
-    for (cin, cout, k, hw) in [(32, 32, 3, 16), (16, 8, 5, 16), (4, 32, 3, 32)]:
+    for (cin, cout, k, hw) in [(32, 16, 3, 32), (16, 8, 5, 16), (4, 32, 3, 32)]:
         params = mp.mp_conv_init(jax.random.PRNGKey(k * cin), cin, cout, (k, k))
         x = jnp.asarray(rs.randn(2, hw, hw, cin).astype(np.float32))
         ref = mp.mp_conv_apply(params, x, gain=0.7)

@@ -206,8 +206,42 @@ class Plotter:
         plt.close(fig)
         return out
 
+    # ------------------------------------------------------------------ 05
+    def plot_fid_vs_nfe(self, records: Optional[List[dict]] = None) -> Optional[Path]:
+        """FID vs number of denoiser evaluations — the reference's to-do
+        item 6.3 (README.md:13, marked DONE there but never implemented:
+        graphs/plotter.py has no FID plot). ``records`` are
+        {"nfe": int, "fid": float, ...} dicts; defaults to the
+        ``<run>_fid.jsonl`` stream (written by scripts/fid_vs_nfe.py)."""
+        recs = records if records is not None else self._stream("fid")
+        recs = [r for r in recs if "nfe" in r and "fid" in r]
+        if not recs:
+            return None
+        recs = sorted(recs, key=lambda r: r["nfe"])
+        nfe = np.asarray([r["nfe"] for r in recs], dtype=np.float64)
+        fid = np.asarray([r["fid"] for r in recs], dtype=np.float64)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ax.plot(nfe, fid, "o-", lw=1.5)
+        for x, y in zip(nfe, fid):
+            ax.annotate(f"{y:.1f}", (x, y), textcoords="offset points",
+                        xytext=(0, 8), fontsize=8, ha="center")
+        ax.set_xscale("log")
+        ax.set_xticks(nfe)
+        ax.get_xaxis().set_major_formatter(matplotlib.ticker.ScalarFormatter())
+        ax.set_xlabel("NFE (denoiser evaluations)")
+        tower = recs[-1].get("tower", "")
+        ax.set_ylabel(f"FID{f' ({tower})' if tower else ''}")
+        ax.set_title("Sample quality vs sampling compute")
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        out = self.out_dir / "05_fid_vs_nfe.png"
+        fig.savefig(out, dpi=110)
+        plt.close(fig)
+        return out
+
     def plot_all(self, router_probe=None) -> List[Path]:
-        outs = [self.plot_training_dynamics(), self.plot_scaling_gating(), self.plot_gradient_flow()]
+        outs = [self.plot_training_dynamics(), self.plot_scaling_gating(),
+                self.plot_gradient_flow(), self.plot_fid_vs_nfe()]
         if router_probe is not None:
             outs.append(self.plot_expert_specialization(router_probe))
         return [o for o in outs if o is not None]

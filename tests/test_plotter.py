@@ -55,3 +55,18 @@ def test_expert_specialization_sweep(tmp_path):
     plotter = Plotter(str(tmp_path), "t", out_dir=str(tmp_path / "analysis"))
     out = plotter.plot_expert_specialization(probe, num_sigmas=8)
     assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_fid_vs_nfe_plot(tmp_path):
+    """Reference to-do 6.3 (README.md:13) realized: FID-vs-NFE curve from
+    the <run>_fid.jsonl stream (written by scripts/fid_vs_nfe.py)."""
+    import json
+
+    rows = [{"nfe": n, "fid": f, "tower": "random-conv", "n": 100}
+            for n, f in [(3, 200.0), (9, 90.0), (35, 30.0)]]
+    (tmp_path / "t_fid.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    plotter = Plotter(str(tmp_path), "t", out_dir=str(tmp_path / "analysis"))
+    out = plotter.plot_fid_vs_nfe()
+    assert out is not None and out.exists() and out.stat().st_size > 10_000
+    # plot_all picks the stream up too
+    assert "05_fid_vs_nfe.png" in {o.name for o in plotter.plot_all()}

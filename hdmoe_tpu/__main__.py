@@ -112,6 +112,40 @@ def _cmd_fid(args):
     print(json.dumps(out))
 
 
+def _cmd_serve(args):
+    from hdmoe_tpu.models import default_model_config, precond_init
+    from hdmoe_tpu.serve import SamplerEngine, serve
+
+    import jax
+
+    if args.preset:
+        from hdmoe_tpu.train import presets
+
+        builder = presets.PRESETS.get(args.preset)
+        if builder is None:
+            sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+        cfg = builder()[0]
+    else:
+        cfg = default_model_config()
+    params = jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from hdmoe_tpu.train.checkpoint import CheckpointManager
+        from hdmoe_tpu.train.optim import OptimConfig
+        from hdmoe_tpu.train.train_step import init_train_state
+
+        state, _, _ = CheckpointManager(args.checkpoint).restore(
+            init_train_state(params, OptimConfig()), jax.random.PRNGKey(0)
+        )
+        params = state.params
+    else:
+        print("WARNING: serving random-init weights (no --checkpoint)", flush=True)
+    engine = SamplerEngine(
+        cfg, params, batch=args.batch_size, num_steps=args.steps,
+        guidance=args.guidance, vae_kind=args.vae, text_kind=args.text_encoder,
+    )
+    serve(engine, host=args.host, port=args.port)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hdmoe_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -165,6 +199,18 @@ def main(argv=None):
     p_fid.add_argument("--prompt", default="a photo of a flower")
     p_fid.add_argument("--seed", type=int, default=0)
     p_fid.set_defaults(fn=_cmd_fid)
+
+    p_serve = sub.add_parser("serve", help="HTTP sampling server (AOT engine + coalescing frontend)")
+    p_serve.add_argument("--preset", default="", help="model preset (default: flagship config)")
+    p_serve.add_argument("--checkpoint", default="", help="checkpoint directory to serve")
+    p_serve.add_argument("--batch-size", type=int, default=16)
+    p_serve.add_argument("--steps", type=int, default=18)
+    p_serve.add_argument("--guidance", type=float, default=1.0)
+    p_serve.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
+    p_serve.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8777)
+    p_serve.set_defaults(fn=_cmd_serve)
 
     args = parser.parse_args(argv)
     args.fn(args)

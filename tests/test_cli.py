@@ -36,3 +36,9 @@ def test_cli_plot(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "01_training_dynamics.png" in r.stdout
     assert (tmp_path / "analysis" / "x" / "01_training_dynamics.png").exists()
+
+
+def test_cli_serve_help():
+    r = _run(["serve", "--help"])
+    assert r.returncode == 0
+    assert "--checkpoint" in r.stdout and "--port" in r.stdout

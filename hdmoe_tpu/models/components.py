@@ -202,11 +202,16 @@ def unet_block_apply(
             x = mp.mp_conv_apply(params["conv_skip"], x)
         x = mp.normalize(x, axis=[-1])  # pixel norm over channels (NHWC)
 
-    main = mp.mp_conv_apply(params["conv_res1"], mp.mp_silu(x), gain=cfg.conv_gain)
-    main = main * emb[:, None, None, :].astype(x.dtype)
-    main = mp.mp_silu(main)
-    main = mp.dropout(main, cfg.dropout, key, train)
-    main = mp.mp_conv_apply(params["conv_res2"], main, gain=cfg.conv_gain)
+    main = mp.mp_conv_silu_apply(params["conv_res1"], x, gain=cfg.conv_gain)
+    if train and cfg.dropout > 0:
+        main = main * emb[:, None, None, :].astype(x.dtype)
+        main = mp.mp_silu(main)
+        main = mp.dropout(main, cfg.dropout, key, train)
+        main = mp.mp_conv_apply(params["conv_res2"], main, gain=cfg.conv_gain)
+    else:
+        # eval (dropout inert): conv(mp_silu(main * emb)) — the silu/scale
+        # prologue fuses into the Pallas conv under conv_layout("pallas")
+        main = mp.mp_conv_silu_apply(params["conv_res2"], main, gain=cfg.conv_gain, scale=emb)
     if cfg.block_type == "dec" and "conv_skip" in params:
         x = mp.mp_conv_apply(params["conv_skip"], x)
     return mp.mp_sum(x, main, t=cfg.residual_balance)

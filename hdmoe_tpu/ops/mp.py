@@ -320,6 +320,63 @@ def _pallas_conv_bwd(res, g):
 _pallas_conv_ad.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
 
 
+def mp_conv_silu_apply(
+    params: dict,
+    x: jnp.ndarray,
+    gain=1.0,
+    scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``mp_conv(mp_silu(x * scale))`` with the prologue FUSED into the
+    Pallas conv under ``conv_layout("pallas")`` (profile_r2b: the plain
+    pallas conv measured neutral in-model because the pallas_call breaks
+    XLA's elementwise-producer fusion — this restores it in VMEM).
+
+    ``scale`` is an optional per-(batch, channel) modulation (the U-Net
+    block's ``* (1 + emb)``, model_components.py:238-241). Identical math
+    to the unfused path on any impl/shape outside the kernel's scope.
+    Forward-only fusion: under differentiation the unfused ops are used
+    (sampling is the hot path; XLA fuses fine in the training graph)."""
+    from hdmoe_tpu.ops.pallas import conv as pallas_conv
+
+    w = _mp_weight(params, gain).astype(x.dtype)
+    if (_CONV_IMPL == "pallas" and x.ndim == 4
+            and pallas_conv.supported(x.shape, w.shape, 1)):
+        return _pallas_conv_silu_ad(x, w, scale)
+    if scale is not None:
+        x = x * scale[:, None, None, :].astype(x.dtype)
+    return mp_conv_apply(params, mp_silu(x), gain=gain)
+
+
+def _unfused_conv_silu(x, w, scale):
+    if scale is not None:
+        x = x * scale[:, None, None, :].astype(x.dtype)
+    return _xla_same_conv(mp_silu(x), w)
+
+
+@jax.custom_vjp
+def _pallas_conv_silu_ad(x, w, scale):
+    from hdmoe_tpu.ops.pallas import conv as pallas_conv
+
+    return pallas_conv.conv_same(x, w, silu=True, scale=scale)
+
+
+def _pallas_conv_silu_fwd(x, w, scale):
+    return _pallas_conv_silu_ad(x, w, scale), (x, w, scale)
+
+
+def _pallas_conv_silu_bwd(res, g):
+    x, w, scale = res
+    if scale is None:
+        _, vjp = jax.vjp(lambda x_, w_: _unfused_conv_silu(x_, w_, None), x, w)
+        dx, dw = vjp(g)
+        return dx, dw, None
+    _, vjp = jax.vjp(_unfused_conv_silu, x, w, scale)
+    return vjp(g)
+
+
+_pallas_conv_silu_ad.defvjp(_pallas_conv_silu_fwd, _pallas_conv_silu_bwd)
+
+
 def _conv_im2col_t(x, w, stride, pad_h, pad_w):
     """Transposed im2col conv: one (O, C*kh*kw) @ (C*kh*kw, tokens) matmul
     per image, tokens on the MXU lanes (see ``conv_layout``). Same math as

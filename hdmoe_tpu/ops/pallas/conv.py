@@ -49,8 +49,21 @@ def _shift_flat(xf: jnp.ndarray, oy: int, ox: int, w: int) -> jnp.ndarray:
     return jnp.where(valid, rolled, jnp.zeros_like(rolled))
 
 
-def _conv_same_kernel(x_ref, w_ref, o_ref, *, kh, kw, img_w):
+def _conv_same_kernel(*refs, kh, kw, img_w, silu, with_scale):
+    if with_scale:
+        x_ref, w_ref, s_ref, o_ref = refs
+    else:
+        x_ref, w_ref, o_ref = refs
+        s_ref = None
     x = x_ref[0]  # (C, H*W)
+    if with_scale:
+        # per-(image, channel) modulation: (C, 1) broadcast over the lanes
+        x = x * s_ref[0][:, None].astype(x.dtype)
+    if silu:
+        # mp_silu prologue (ops/mp.py:96), computed in x.dtype exactly like
+        # the unfused op; fused in VMEM so the XLA producer fusion the
+        # pallas_call would otherwise break is recovered inside the kernel.
+        x = jax.nn.silu(x) / 0.596
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     cols = []
     for dy in range(kh):
@@ -83,8 +96,15 @@ def supported(x_shape, w_shape, stride: int) -> bool:
 
 
 def conv_same(x: jnp.ndarray, w: jnp.ndarray,
-              interpret: Optional[bool] = None) -> jnp.ndarray:
-    """NHWC stride-1 'same' conv, OIHW weights — drop-in for the XLA conv."""
+              interpret: Optional[bool] = None,
+              *, silu: bool = False,
+              scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """NHWC stride-1 'same' conv, OIHW weights — drop-in for the XLA conv.
+
+    ``silu=True`` fuses the mp_silu prologue; ``scale`` (B, C) fuses a
+    per-(image, channel) modulation applied BEFORE the silu — together they
+    cover the U-Net block's ``conv(mp_silu(x))`` and
+    ``conv(mp_silu(x * emb))`` patterns (model_components.py:238-246)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, wd, c = x.shape
@@ -92,15 +112,21 @@ def conv_same(x: jnp.ndarray, w: jnp.ndarray,
     # (kh, kw, C, O) rows match the kernel's (dy, dx, c) tap order.
     wmat = jnp.transpose(w, (2, 3, 1, 0)).reshape(kh * kw * c, o).astype(x.dtype)
     xn = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, h * wd)
+    in_specs = [
+        pl.BlockSpec((1, c, h * wd), lambda i: (i, 0, 0)),
+        pl.BlockSpec((kh * kw * c, o), lambda i: (0, 0)),
+    ]
+    operands = [xn, wmat]
+    if scale is not None:
+        in_specs.append(pl.BlockSpec((1, c), lambda i: (i, 0)))
+        operands.append(scale.astype(x.dtype))
     out = pl.pallas_call(
-        functools.partial(_conv_same_kernel, kh=kh, kw=kw, img_w=wd),
+        functools.partial(_conv_same_kernel, kh=kh, kw=kw, img_w=wd,
+                          silu=silu, with_scale=scale is not None),
         out_shape=jax.ShapeDtypeStruct((b, o, h * wd), x.dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, c, h * wd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((kh * kw * c, o), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, o, h * wd), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(xn, wmat)
+    )(*operands)
     return jnp.transpose(out.reshape(b, o, h, wd), (0, 2, 3, 1))

@@ -230,3 +230,30 @@ def test_conv_layout_pallas_matches_xla_and_grads():
     with mp.conv_layout("pallas"):
         out2 = mp.mp_conv_apply(p2, x2, stride=2)
     assert out2.shape == (2, 5, 5, 8)  # stride-2 k//2 'same': floor((8+4-4)/2)+1
+
+
+def test_mp_conv_silu_fused_matches_unfused():
+    """mp_conv_silu_apply: the silu(+scale) prologue fused into the Pallas
+    conv == the unfused ops, values and grads, with and without scale."""
+    rs = np.random.RandomState(11)
+    params = mp.mp_conv_init(jax.random.PRNGKey(2), 16, 16, (3, 3))
+    x = jnp.asarray(rs.randn(2, 32, 32, 16).astype(np.float32))
+    emb = jnp.asarray(1.0 + 0.1 * rs.randn(2, 16).astype(np.float32))
+    for scale in (None, emb):
+        ref = mp.mp_conv_silu_apply(params, x, gain=1.1, scale=scale)
+        # identical to hand-composed ops
+        xs = x if scale is None else x * scale[:, None, None, :]
+        np.testing.assert_allclose(
+            np.asarray(mp.mp_conv_apply(params, mp.mp_silu(xs), gain=1.1)),
+            np.asarray(ref), atol=1e-6)
+        with mp.conv_layout("pallas"):
+            got = mp.mp_conv_silu_apply(params, x, gain=1.1, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+        def loss(p, impl, s=scale):
+            with mp.conv_layout(impl):
+                return jnp.sum(mp.mp_conv_silu_apply(p, x, gain=1.1, scale=s) ** 2)
+
+        g_ref = jax.grad(loss)(params, "xla")["mpw"]
+        g_pal = jax.grad(loss)(params, "pallas")["mpw"]
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=2e-4, rtol=2e-4)

@@ -36,6 +36,14 @@ class HDMOEMConfig:
     # Preconditioning surface (model_config2.py:331-354)
     sigma_data: float = 0.5
     log_var_channels: int = 128
+    # EDM skip-connection form (models/hdmoem.py:precond_apply):
+    #   "reference": D = c_skip*(c_in*x) + c_out*F — the reference's
+    #       non-canonical form (model_config2.py:440-449), kept as default
+    #       for bit parity; its sampler ODE diverges below the trained
+    #       sigma range (see precond_apply).
+    #   "canonical": D = c_skip*x + c_out*F (EDM paper) — stable as
+    #       sigma -> 0.
+    skip_mode: str = "reference"
     # TPU-native knobs (no reference analog)
     variant: str = "config2"  # "config1": learned Scaling_router + dynamic query/context swap
     # "dense": all experts on all samples, combined by sparse gate (exact)

@@ -388,6 +388,7 @@ def precond_apply(
     if c_noise.shape[0] == 1 and batch_size > 1:
         c_noise = jnp.broadcast_to(c_noise, (batch_size,))
 
+    x_raw = x
     x = x * c_in.astype(x.dtype)
     out_net, unet_probs, unet_raw, vit_probs, vit_raw, scaling_factors, out_gate = hdmoem_apply(
         params["net"], cfg, x, c_noise, text_emb, unet_router_mask, vit_router_mask, zeta,
@@ -395,7 +396,20 @@ def precond_apply(
         train=train, key=key,
     )
     # Skip/output recombination always in fp32 (the ODE math depends on it).
-    d_x = c_skip * x.astype(jnp.float32) + c_out * out_net.astype(jnp.float32)
+    # skip_mode "reference" preserves the reference's non-canonical
+    # D = c_skip*(c_in*x) + c_out*F (model_config2.py:440-449) bit-for-bit.
+    # That form multiplies the skip by c_skip*c_in -> 1/sigma_data as
+    # sigma -> 0, so the sampler ODE has NO stable fixed point at small
+    # sigma: below the trained sigma range (lognormal(-1.2, 1.6) leaves
+    # sigma <~ 0.01 essentially unvisited) each Heun step amplifies x by
+    # ~(2 - sigma_next/sigma) and trajectories measurably explode
+    # (std 1.2 -> 158 over the last 5 of 18 Karras steps at
+    # sigma_min=0.002; the reference's own checked-in samples show the
+    # same saturated divergence). skip_mode "canonical" is the EDM-paper
+    # form D = c_skip*x + c_out*F (Karras et al. 2022, Table 1), whose
+    # sigma -> 0 limit is D -> x — the fix-not-copy option.
+    skip = x.astype(jnp.float32) if cfg.skip_mode == "reference" else x_raw.astype(jnp.float32)
+    d_x = c_skip * skip + c_out * out_net.astype(jnp.float32)
     log_var = None
     if return_log_var:
         log_var = mp.mp_conv_apply(

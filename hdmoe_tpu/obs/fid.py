@@ -170,6 +170,7 @@ def fid_from_checkpoint(
     text: str = "fake",
     prompt: str = "a photo of a flower",
     seed: int = 0,
+    real_roundtrip: Optional[bool] = None,
 ) -> dict:
     """End-to-end FID: restore a checkpoint, sample ``n`` images through the
     AOT engine, stream real images from the dataset, compute FID with the
@@ -210,6 +211,26 @@ def fid_from_checkpoint(
 
     ds = make_dataset(dataset_name, resolution=resolution, root=data_root, seed=seed)
     real = batch_iterator(ds, batch, seed=seed)
+    # With a lossy stand-in VAE the raw-real-vs-decoded gap (e.g. FakeVAE's
+    # 8x8 block structure) dominates BOTH trained and untrained scores and
+    # buries the generative signal (measured: 27.67 vs 27.85 at n=10k).
+    # Standard remedy: score against VAE-RECONSTRUCTED real images so both
+    # distributions live in the decoder's image space and FID measures the
+    # model, not the autoencoder. Defaults on for non-real VAEs.
+    if real_roundtrip is None:
+        real_roundtrip = vae != "real"
+    if real_roundtrip:
+        import jax.numpy as jnp
+
+        _vae = engine.vae
+        _orig_real = real
+
+        def _roundtrip():
+            for imgs in _orig_real:
+                yield np.asarray(_vae.decode(_vae.encode(jnp.asarray(imgs))))
+
+        real = _roundtrip()
     fid = fid_evaluate(sample_fn, real, feature_fn, n=n, batch=batch,
                        progress=lambda s: print(s, flush=True))
-    return {"fid": fid, "tower": tower_used, "n": n, "nfe": 2 * num_steps - 1}
+    return {"fid": fid, "tower": tower_used, "n": n, "nfe": 2 * num_steps - 1,
+            "real_roundtrip": bool(real_roundtrip)}

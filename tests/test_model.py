@@ -201,3 +201,27 @@ def test_remat_experts_matches_and_grads():
         lambda p: jnp.mean(precond_apply(p, rcfg, x, sigma, txt, mask, mask, 0.0)["denoised"] ** 2)
     )(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_skip_mode_canonical_vs_reference():
+    """skip_mode="canonical" restores the EDM-paper skip D = c_skip*x +
+    c_out*F; "reference" keeps the reference's c_skip*(c_in*x). They differ
+    by exactly c_skip*(c_in - 1)*x, and canonical's sigma->0 limit is D->x
+    (the reference form's is x/sigma_data — the sampler-divergence root
+    cause, see precond_apply)."""
+    from dataclasses import replace
+
+    cfg = tiny_cfg(text_emb_dim=0)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.img_resolution, cfg.img_resolution, cfg.in_channels))
+    m = jnp.ones((2, cfg.num_experts))
+    for sig in (0.05, 0.5, 5.0):
+        sigma = jnp.full((2,), sig)
+        d_ref = precond_apply(params, cfg, x, sigma, None, m, m, 0.0)["denoised"]
+        d_can = precond_apply(params, replace(cfg, skip_mode="canonical"), x, sigma, None, m, m, 0.0)["denoised"]
+        sd = cfg.sigma_data
+        c_skip = sd**2 / (sig**2 + sd**2)
+        c_in = 1.0 / np.sqrt(sd**2 + sig**2)
+        expected_delta = c_skip * (c_in - 1.0) * np.asarray(x)
+        np.testing.assert_allclose(np.asarray(d_ref - d_can), expected_delta, atol=1e-5,
+                                   err_msg=f"sigma={sig}")

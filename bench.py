@@ -12,8 +12,10 @@ Two variants are measured:
 - ``fast``: bfloat16 + capacity dispatch at cf=1.0 + the small-head flash
   attention kernel — the headline number (round-2 profile-driven: fusion
   attention softmax HBM traffic was ~48% of eval time; the transposed
-  sublane-softmax kernel removes it, 9.75 -> 8.11 ms/eval, and cf 1.0
-  halves the routed compute vs cf 2.0, -> 6.31 ms/eval, 182 img/s).
+  sublane-softmax kernel removes it, 9.75 -> 8.11 ms/eval, cf 1.0 halves
+  the routed compute vs cf 2.0 -> 6.31 ms/eval / 184 img/s, and dropping
+  the d=4->16 pads around the kernel (trailing block dim == array dim is
+  legal at any size) -> 207 img/s, round2g.json).
   cf=1.0 uses standard MoE serving capacity semantics (overflow tokens
   drop to the skip connection); cf=2.0 keeps the no-drop guarantee at
   ~142 img/s. Measured-slower alternatives (don't redo without new

@@ -63,7 +63,10 @@ def _conv_same_kernel(*refs, kh, kw, img_w, silu, with_scale):
         # mp_silu prologue (ops/mp.py:96), computed in x.dtype exactly like
         # the unfused op; fused in VMEM so the XLA producer fusion the
         # pallas_call would otherwise break is recovered inside the kernel.
-        x = jax.nn.silu(x) / 0.596
+        # lax.logistic directly: jax.nn.silu is a custom_jvp whose closed
+        # jaxpr breaks the Mosaic lowering cache under lax.cond tracing
+        # (KeyError ('closed_call', ...) on real TPU).
+        x = x * jax.lax.logistic(x) / 0.596
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     cols = []
     for dy in range(kh):

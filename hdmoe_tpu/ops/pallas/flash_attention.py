@@ -240,13 +240,12 @@ def _smallhead_forward(q, k, v, bias, *, block_q: int, interpret: bool):
     lk = k.shape[2]
     sm_scale = 1.0 / math.sqrt(d)
 
-    if d % 16 != 0:
-        dp = ((d + 15) // 16) * 16
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
-    else:
-        dp = d
+    # No d-padding: a trailing block dim equal to the full array dim is
+    # legal at any size, and the jnp.pad HBM round-trips measured ~12% of
+    # the kernel wall at d=4 (artifacts/profile_r2/attn_variants.json:
+    # nopad 1.17 vs padded 1.33 ms; bf16-exp measured slower — exp is only
+    # ~9% of the kernel, the noexp control ran 1.07).
+    dp = d
     block_q = max(8, min(block_q, lq))
     q = _pad_axis(q, 2, block_q)
     k = _pad_axis(k, 2, 16)  # sublane granule (bf16 packing)

@@ -58,15 +58,16 @@ def _conv_same_kernel(*refs, kh, kw, img_w, silu, with_scale):
     x = x_ref[0]  # (C, H*W)
     if with_scale:
         # per-(image, channel) modulation: (C, 1) broadcast over the lanes
-        x = x * s_ref[0][:, None].astype(x.dtype)
+        x = x * s_ref[0].astype(x.dtype)
     if silu:
         # mp_silu prologue (ops/mp.py:96), computed in x.dtype exactly like
         # the unfused op; fused in VMEM so the XLA producer fusion the
         # pallas_call would otherwise break is recovered inside the kernel.
-        # lax.logistic directly: jax.nn.silu is a custom_jvp whose closed
-        # jaxpr breaks the Mosaic lowering cache under lax.cond tracing
-        # (KeyError ('closed_call', ...) on real TPU).
-        x = x * jax.lax.logistic(x) / 0.596
+        # Plain exp-based sigmoid: both jax.nn.silu (custom_jvp) and
+        # lax.logistic fail Mosaic lowering on real TPU (KeyError
+        # ('closed_call', silu jaxpr) out of the MLIR lowering cache);
+        # exp is the one transcendental the flash kernels already prove out.
+        x = x * (1.0 / (1.0 + jnp.exp(-x))) / 0.596
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     cols = []
     for dy in range(kh):
@@ -121,8 +122,11 @@ def conv_same(x: jnp.ndarray, w: jnp.ndarray,
     ]
     operands = [xn, wmat]
     if scale is not None:
-        in_specs.append(pl.BlockSpec((1, c), lambda i: (i, 0)))
-        operands.append(scale.astype(x.dtype))
+        # (B, C, 1): a trailing singleton keeps the block's last-two dims
+        # legal ((C, 1): C%8 via the C%16 gate, 1 == array dim) — a flat
+        # (1, C) block fails the (8, 128) divisibility check on real TPU.
+        in_specs.append(pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0)))
+        operands.append(scale.astype(x.dtype)[:, :, None])
     out = pl.pallas_call(
         functools.partial(_conv_same_kernel, kh=kh, kw=kw, img_w=wd,
                           silu=silu, with_scale=scale is not None),

@@ -110,7 +110,12 @@ def main():
                 "value": round(fast_ips, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(fast_ips / parity_ips, 4),
-                "denoiser_step_ms": round(fast_ms, 2),
+                # amortized per-eval latency inside the compiled 35-NFE scan
+                # (the trustworthy number through the tunnel); the standalone
+                # jit call pays ~ms of per-dispatch overhead and is reported
+                # separately for transparency
+                "denoiser_step_ms": round(fast_wall / (2 * HEUN_STEPS - 1) * 1e3, 2),
+                "denoiser_standalone_call_ms": round(fast_ms, 2),
                 "parity_f32_dense_images_per_sec": round(parity_ips, 4),
                 "parity_f32_dense_step_ms": round(parity_ms, 2),
                 "batch": BATCH,

@@ -97,7 +97,12 @@ def main():
     from hdmoe_tpu.train.optim import project_mp_weights
 
     fast_cfg = replace(
-        base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=1.0, use_flash=True
+        base_cfg, compute_dtype="bfloat16", dispatch="capacity", capacity_factor=1.0, use_flash=True,
+        # round-3: confidence-ranked capacity selection + overflow-to-next-
+        # choice — measured free (184.1 vs 183.9 img/s same-session) and
+        # closes the capacity-drop FID cliff (2.54 -> 1.94 at cf=1.0;
+        # artifacts/serving_dial_r3.json)
+        capacity_policy="priority",
     )
     fast_ips, fast_ms, fast_wall = _measure(
         fast_cfg, project_mp_weights(params), text, noise, folded=True
@@ -110,11 +115,17 @@ def main():
                 "value": round(fast_ips, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(fast_ips / parity_ips, 4),
+                # schema v2 (round-2 advisor fix): "denoiser_step_ms" in
+                # BENCH_r01.json meant the standalone jit-call latency; round 2
+                # silently redefined it as amortized in-scan latency. The two
+                # measurements now carry distinct keys — compare r01's
+                # denoiser_step_ms against denoiser_standalone_call_ms, and
+                # r02's against denoiser_step_amortized_ms.
+                "bench_schema": 2,
                 # amortized per-eval latency inside the compiled 35-NFE scan
-                # (the trustworthy number through the tunnel); the standalone
-                # jit call pays ~ms of per-dispatch overhead and is reported
-                # separately for transparency
-                "denoiser_step_ms": round(fast_wall / (2 * HEUN_STEPS - 1) * 1e3, 2),
+                # (the trustworthy number through the tunnel)
+                "denoiser_step_amortized_ms": round(fast_wall / (2 * HEUN_STEPS - 1) * 1e3, 2),
+                # standalone jit call (pays ~ms of per-dispatch tunnel overhead)
                 "denoiser_standalone_call_ms": round(fast_ms, 2),
                 "parity_f32_dense_images_per_sec": round(parity_ips, 4),
                 "parity_f32_dense_step_ms": round(parity_ms, 2),

@@ -490,6 +490,10 @@ class VitExpertCfg:
     gain_t: float = 1.0
     use_flash: bool = False
     attn_impl: Optional[str] = None
+    # Run the block stack through the GPipe schedule when a
+    # parallel.pipeline.pipeline_context is active (deep-ViT configs where
+    # num_blocks == the pipeline mesh axis size).
+    pipeline_blocks: bool = False
 
     @property
     def block_cfg(self) -> VitBlockCfg:
@@ -573,8 +577,34 @@ def vit_expert_apply(
             text_emb = mp.mp_conv_apply(params["map_txt"], text_emb)
         time_emb = mp.mp_sum(time_emb, text_emb, t=cfg.emb_balance)
 
-    for block in params["blocks"]:
-        x = vit_block_apply(block, cfg.block_cfg, x, time_embedding=time_emb)
+    pp_ctx = None
+    if cfg.pipeline_blocks:
+        from hdmoe_tpu.parallel.pipeline import current_pipeline_context
+
+        pp_ctx = current_pipeline_context()
+    if pp_ctx is not None:
+        # Pipeline parallelism over the block stack (parallel/pipeline.py):
+        # the homogeneous DiffiT blocks stack into stage params sharded over
+        # the pipeline mesh axis; the time embedding rides as the per-
+        # microbatch aux input. Grad-exact vs the sequential loop
+        # (tests/test_pipeline_in_model.py).
+        from hdmoe_tpu.parallel.pipeline import gpipe
+
+        mesh_, axis_, micro = pp_ctx
+        assert len(params["blocks"]) == mesh_.shape[axis_], (
+            f"pipeline_blocks needs num_blocks == mesh['{axis_}'] "
+            f"({len(params['blocks'])} vs {mesh_.shape[axis_]})"
+        )
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *params["blocks"])
+        micro_eff = micro if b % micro == 0 else math.gcd(b, micro)
+        x = gpipe(
+            lambda p, xx, te: vit_block_apply(p, cfg.block_cfg, xx, time_embedding=te),
+            stacked, x, mesh_, axis=axis_,
+            num_microbatches=micro_eff, aux=time_emb,
+        )
+    else:
+        for block in params["blocks"]:
+            x = vit_block_apply(block, cfg.block_cfg, x, time_embedding=time_emb)
 
     x = mp.layer_norm_apply(params["norm"], x)
     x = mp.mp_conv_apply(params["unpatch_proj"], x.reshape(b * cfg.seq_ln, cfg.emb_dim))

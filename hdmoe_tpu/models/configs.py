@@ -53,6 +53,15 @@ class HDMOEMConfig:
     # "grouped": shape-class bank dispatch (heterogeneous pools only)
     dispatch: str = "dense"
     capacity_factor: float = 2.0  # capacity = ceil(cf * B * top_k / num_experts), clamped to B
+    # Capacity-overflow policy for the capacity-limited dispatch modes
+    # (models/moe.py:reroute_overflow):
+    #   "fcfs"     first-come-first-served by batch position; overflow drops
+    #              to the skip path (classic MoE serving semantics).
+    #   "priority" rank routed tokens by router confidence and reroute
+    #              overflow to the token's next-choice expert — closes most
+    #              of the capacity-drop FID gap under the sigma-correlated
+    #              routing of EDM sampling (PERF.md serving dial).
+    capacity_policy: str = "fcfs"
     use_flash: bool = False  # Pallas flash-attention core on TPU
     # Attention core selection: "auto" (flash iff use_flash), "dense",
     # "flash", or "ring" (sequence-parallel over a mesh axis; needs an
@@ -70,6 +79,11 @@ class HDMOEMConfig:
     # Rematerialize expert forwards in the backward pass (jax.checkpoint):
     # trades recompute for activation memory on the 256x256+ configs.
     remat_experts: bool = False
+    # Pipeline the ViT experts' block stack through the GPipe schedule
+    # (parallel/pipeline.py) when a pipeline_context(mesh, axis) is active:
+    # requires vit_num_blocks == the pipeline mesh axis size. The deep-ViT
+    # regime knob (256x256+ stretch configs).
+    pipeline_vit_blocks: bool = False  # microbatch count comes from the context
     # Explicit all-to-all expert parallelism (parallel/ep.py): when True and
     # an ep_context(mesh) is active, stacked-bank dispatch shards tokens
     # over (data x expert) and exchanges them with lax.all_to_all instead of
@@ -78,16 +92,25 @@ class HDMOEMConfig:
     # "heterogeneous": per-expert kernel/patch sizes, separate compile units
     #   (the reference architecture).
     # "stacked": identical experts stacked on a leading axis -> true expert
-    #   parallelism over the mesh "expert" axis (64-expert stretch config).
+    #   parallelism over the mesh "expert" axis (homogeneous pools only).
+    # "class_banks": HETEROGENEOUS expert parallelism — experts grouped by
+    #   shape class (identical kernel/patch size within a class), one
+    #   stacked bank per class, each bank sharded over the expert mesh axis
+    #   (models/hdmoem.py:_class_bank_dispatch). Keeps the reference's
+    #   defining per-expert sizes (model_config1.py:152-177) at EP scale;
+    #   under ep_all_to_all each class's member count must divide the
+    #   expert axis size.
     expert_sharing: str = "heterogeneous"
 
     def __post_init__(self):
         if self.expert_sharing == "stacked":
             assert len(set(self.unet_kernel_sizes)) == 1, (
-                "stacked expert banks need identical U-Net kernel sizes"
+                "stacked expert banks need identical U-Net kernel sizes "
+                "(use expert_sharing='class_banks' for heterogeneous pools)"
             )
             assert len(set(self.vit_patch_sizes)) == 1, (
-                "stacked expert banks need identical ViT patch sizes"
+                "stacked expert banks need identical ViT patch sizes "
+                "(use expert_sharing='class_banks' for heterogeneous pools)"
             )
 
     def capacity(self, batch_size: int) -> int:

@@ -63,17 +63,46 @@ def _vit_expert_cfg(cfg: HDMOEMConfig, i: int) -> comp.VitExpertCfg:
         text_dim=cfg.text_emb_dim,
         use_flash=cfg.use_flash,
         attn_impl=cfg.attn_impl,
+        pipeline_blocks=cfg.pipeline_vit_blocks,
     )
+
+
+def _class_groups(cfg: HDMOEMConfig, cfg_fn):
+    """Group expert indices by identical static config (same kernel/patch
+    size => same parameter shapes). Deterministic first-occurrence order.
+
+    This is how heterogeneity survives expert parallelism: per-expert
+    kernel/patch sizes are THE defining feature of the reference
+    (model_config1.py:152-177), and a single weight-stacked bank would
+    homogenize them — so each shape class gets its OWN bank, sharded over
+    the expert mesh axis (SURVEY.md §7 hard-part 2)."""
+    groups: dict = {}
+    for i in range(cfg.num_experts):
+        groups.setdefault(cfg_fn(cfg, i), []).append(i)
+    return list(groups.items())
 
 
 def _init_experts(cfg: HDMOEMConfig, key: jax.Array, init_fn, cfg_fn):
     """Heterogeneous pools are lists of separate trees; stacked banks are one
-    vmapped tree under "stacked_experts" (sharded over the expert mesh axis)."""
-    if cfg.expert_sharing == "stacked":
-        from hdmoe_tpu.models.moe_stacked import stacked_expert_init
+    vmapped tree under "stacked_experts"; class banks are one vmapped tree
+    PER shape class under "class_banks" (both sharded over the expert mesh
+    axis, parallel/sharding.py:_leaf_spec)."""
+    from hdmoe_tpu.models.moe_stacked import stacked_expert_init
 
+    if cfg.expert_sharing == "stacked":
         ecfg = cfg_fn(cfg, 0)
         return {"stacked_experts": stacked_expert_init(key, cfg.num_experts, lambda k: init_fn(k, ecfg))}
+    if cfg.expert_sharing == "class_banks":
+        groups = _class_groups(cfg, cfg_fn)
+        kclass = jax.random.split(key, len(groups))
+        return {
+            "class_banks": {
+                f"class{g}": stacked_expert_init(
+                    kclass[g], len(members), lambda k, _e=ecfg: init_fn(k, _e)
+                )
+                for g, (ecfg, members) in enumerate(groups)
+            }
+        }
     keys = jax.random.split(key, cfg.num_experts)
     return [init_fn(keys[i], cfg_fn(cfg, i)) for i in range(cfg.num_experts)]
 
@@ -203,6 +232,21 @@ def hdmoem_apply(
         top_k=cfg.top_k, train=train, key=keys[2],
     )
 
+    capacity_limited = (
+        cfg.dispatch in ("capacity", "pallas", "grouped")
+        or cfg.expert_sharing in ("stacked", "class_banks")
+    )
+    if capacity_limited and cfg.capacity_policy == "priority":
+        # Confidence-prioritized selection + overflow-to-next-choice
+        # (models/moe.py:reroute_overflow): after this pre-pass every expert
+        # holds <= capacity tokens, so the FCFS selection inside the dispatch
+        # paths below never drops a surviving token. Under all-to-all EP the
+        # guarantee is per-global-expert, not per-shard (local capacity can
+        # still clip) — best effort there.
+        cap = cfg.capacity(b)
+        out_unet_router = moe.reroute_overflow(out_unet_router, unet_gate_probs, cap)
+        out_vit_router = moe.reroute_overflow(out_vit_router, vit_gate_probs, cap)
+
     if cfg.expert_sharing == "stacked" and cfg.ep_all_to_all:
         from hdmoe_tpu.parallel.ep import all_to_all_moe_dispatch, current_ep_context
 
@@ -221,6 +265,16 @@ def hdmoem_apply(
             partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
             out_vit_router, time_embed, text_emb, mesh_,
             capacity=cap, data_axis=daxis, expert_axis=eaxis, train=train, key=keys[4],
+        )
+    elif cfg.expert_sharing == "class_banks":
+        cap = cfg.capacity(b)
+        out_unet_expert = _class_bank_dispatch(
+            params["unet_experts"]["class_banks"], cfg, _unet_expert_cfg, _stacked_unet_fn,
+            in_unet_router, out_unet_router, time_embed, text_emb, cap, train, keys[3],
+        )
+        out_vit_expert = _class_bank_dispatch(
+            params["vit_experts"]["class_banks"], cfg, _vit_expert_cfg, _stacked_vit_fn,
+            in_vit_router, out_vit_router, time_embed, text_emb, cap, train, keys[4],
         )
     elif cfg.expert_sharing == "stacked":
         from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
@@ -306,6 +360,59 @@ def hdmoem_apply(
     out = mp.mp_sum(out_unet_expert, out_gated_attn, t=0.5)
     out = mp.mp_conv_apply(params["output_proj"], out)
     return out, unet_gate_probs, unet_raw, vit_gate_probs, vit_raw, scaling_factors, out_gate
+
+
+def _class_bank_dispatch(
+    banks, cfg: HDMOEMConfig, cfg_fn, fn, x, gate_weights, time_emb, text_emb,
+    capacity: int, train: bool, key,
+):
+    """Shape-class-banked heterogeneous MoE dispatch, optionally expert-
+    parallel.
+
+    Each shape class (group of experts with identical kernel/patch size) is
+    ONE stacked bank; classes run as separate compile units, so the pool
+    stays heterogeneous at any expert count. Without an EP context each
+    class dispatches via moe_dispatch_stacked (single-program vmapped bank);
+    with ``cfg.ep_all_to_all`` inside an ep_context(mesh), each class's bank
+    shards over the expert mesh axis and tokens ride the explicit
+    all-to-all exchange (parallel/ep.py) — the class's member count must
+    divide the expert axis size. Capacity semantics (and the optional
+    ``capacity_policy="priority"`` pre-pass, applied upstream on the full
+    gate matrix) match the flat dispatch paths exactly.
+    """
+    from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
+
+    groups = _class_groups(cfg, cfg_fn)
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+    keys = jax.random.split(key, len(groups)) if (train and key is not None) else [None] * len(groups)
+
+    ep_ctx = None
+    if cfg.ep_all_to_all:
+        from hdmoe_tpu.parallel.ep import current_ep_context
+
+        ep_ctx = current_ep_context()
+        assert ep_ctx is not None, "ep_all_to_all=True needs an active ep_context(mesh)"
+
+    out = jnp.zeros_like(x)
+    for g, (ecfg, members) in enumerate(groups):
+        gate_g = gate_weights[:, jnp.asarray(members)]
+        bank = banks[f"class{g}"]
+        if ep_ctx is not None:
+            from hdmoe_tpu.parallel.ep import all_to_all_moe_dispatch
+
+            mesh_, daxis, eaxis = ep_ctx
+            out = out + all_to_all_moe_dispatch(
+                x, bank, partial(fn, ecfg=ecfg), gate_g, time_emb, text_emb, mesh_,
+                capacity=capacity, data_axis=daxis, expert_axis=eaxis, train=train, key=keys[g],
+            )
+        else:
+            out = out + moe_dispatch_stacked(
+                x, bank, partial(fn, ecfg=ecfg), gate_g, time_emb, text_emb,
+                capacity=capacity, train=train, key=keys[g],
+                use_pallas=cfg.dispatch == "pallas", top_k=cfg.top_k,
+            )
+    return out
 
 
 def _expert_fn(apply, p, ecfg, remat, x, time_emb, text_emb, *, train, key):

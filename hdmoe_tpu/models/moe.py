@@ -31,6 +31,70 @@ import jax
 import jax.numpy as jnp
 
 
+def reroute_overflow(
+    gate_weights: jnp.ndarray,
+    gate_probs: jnp.ndarray,
+    capacity: int,
+) -> jnp.ndarray:
+    """Confidence-prioritized capacity selection + overflow-to-next-choice.
+
+    The round-2 serving-dial measurement (PERF.md) showed the whole quality
+    cost of capacity dispatch comes from DROPS: during EDM sampling every
+    image in the batch shares one sigma, the noise-conditioned routers are
+    correlated, per-step expert load is spiky, and first-come-first-served
+    selection (``expert_assignment``) drops whichever routed tokens happen to
+    sit late in the batch — those samples get NO expert at that step (top-1)
+    and fall back to the bare skip path (FID 1.43 -> 2.55 at cf=1.0). The
+    reference never drops (model_config1.py:26-38 runs ragged sub-batches);
+    this pre-pass recovers most of that guarantee at fixed shapes:
+
+    1. per expert, routed tokens are ranked by ROUTER CONFIDENCE
+       (``gate_probs``) instead of batch position; the top-``capacity`` keep
+       their slot;
+    2. overflow tokens move their gate weight to their next-choice expert
+       (highest prob among experts they are not already routed to, and that
+       prob must be > 0 — specialization-masked experts have exactly-zero
+       probs and can never receive rerouted tokens);
+    3. rerouted tokens compete (by confidence) for that expert's LEFTOVER
+       capacity; tokens that still do not fit are dropped as before.
+
+    Returns a new sparse (B, E) gate matrix in which every expert has at most
+    ``capacity`` nonzeros, so any downstream capacity-``capacity`` dispatch
+    (moe_dispatch_capacity / expert_assignment / grouped / pallas) keeps
+    every surviving token. Total per-token weight is preserved for kept and
+    rerouted tokens. Wired behind ``HDMOEMConfig.capacity_policy="priority"``.
+    """
+    b, e = gate_weights.shape
+    probs = gate_probs.astype(jnp.float32)
+    w = gate_weights.astype(jnp.float32)
+    routed = w > 0
+
+    # 1. keep the `capacity` most-confident routed tokens per expert
+    prio = jnp.where(routed, probs, -jnp.inf)
+    order = jnp.argsort(-prio, axis=0)  # per-expert tokens, confidence desc
+    rank = jnp.argsort(order, axis=0)  # rank of token i within expert e
+    keep = routed & (rank < capacity)
+    kept_w = jnp.where(keep, w, 0.0)
+
+    # 2. overflow weight moves to the token's best untried expert
+    moved_w = jnp.where(routed & ~keep, w, 0.0).sum(axis=1)  # (B,)
+    cand_prio = jnp.where(routed, -jnp.inf, probs)
+    cand_prio = jnp.where(cand_prio > 0.0, cand_prio, -jnp.inf)  # mask prob-0
+    next_e = jnp.argmax(cand_prio, axis=1)  # (B,)
+    next_ok = (moved_w > 0) & jnp.isfinite(cand_prio[jnp.arange(b), next_e])
+
+    # 3. rerouted tokens compete for leftover capacity, by confidence
+    cand = jnp.full((b, e), -jnp.inf, dtype=jnp.float32)
+    cand = cand.at[jnp.arange(b), next_e].set(
+        jnp.where(next_ok, probs[jnp.arange(b), next_e], -jnp.inf)
+    )
+    crank = jnp.argsort(jnp.argsort(-cand, axis=0), axis=0)
+    leftover = jnp.maximum(capacity - keep.sum(axis=0), 0)  # (E,)
+    accept = jnp.isfinite(cand) & (crank < leftover[None, :])
+    new_w = kept_w + jnp.where(accept, moved_w[:, None], 0.0)
+    return new_w.astype(gate_weights.dtype)
+
+
 def moe_dispatch_dense(
     x: jnp.ndarray,
     expert_fns: Sequence[Callable[..., jnp.ndarray]],

@@ -216,9 +216,19 @@ def fid_from_checkpoint(
     # buries the generative signal (measured: 27.67 vs 27.85 at n=10k).
     # Standard remedy: score against VAE-RECONSTRUCTED real images so both
     # distributions live in the decoder's image space and FID measures the
-    # model, not the autoencoder. Defaults on for non-real VAEs.
+    # model, not the autoencoder.
+    #
+    # SEMANTICS (round-2 advisor fix): the default is decided from the
+    # RESOLVED engine VAE type, not the request string — ``vae="auto"`` that
+    # resolves to the real StabilityVAE scores exactly like ``vae="real"``
+    # (no roundtrip); stand-in VAEs roundtrip. Identical pipelines therefore
+    # yield comparable FIDs regardless of how the VAE was requested. Pass
+    # ``real_roundtrip`` explicitly to override; the returned dict records
+    # which mode ran.
     if real_roundtrip is None:
-        real_roundtrip = vae != "real"
+        from hdmoe_tpu.adapters.vae import StabilityVAE
+
+        real_roundtrip = not isinstance(engine.vae, StabilityVAE)
     if real_roundtrip:
         import jax.numpy as jnp
 

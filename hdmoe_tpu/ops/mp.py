@@ -23,6 +23,7 @@ generically.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -34,18 +35,19 @@ from jax import lax
 # normalize-at-use step (the caller guarantees weights are already projected,
 # e.g. via train.optim.project_mp_weights before a sampling loop). Saves one
 # reduction per conv per denoiser eval — 35x per sampled image at 35 NFE.
-_WEIGHTS_PRENORMALIZED = False
+# ContextVars, not module globals: concurrent traces (e.g. the serve
+# frontend AOT-compiling while a training trace runs in another thread)
+# must not leak trace-time config into each other.
+_WEIGHTS_PRENORMALIZED = contextvars.ContextVar("mp_weights_prenormalized", default=False)
 
 
 @contextlib.contextmanager
 def prenormalized_weights():
-    global _WEIGHTS_PRENORMALIZED
-    prev = _WEIGHTS_PRENORMALIZED
-    _WEIGHTS_PRENORMALIZED = True
+    tok = _WEIGHTS_PRENORMALIZED.set(True)
     try:
         yield
     finally:
-        _WEIGHTS_PRENORMALIZED = prev
+        _WEIGHTS_PRENORMALIZED.reset(tok)
 
 
 # Trace-time switch for the conv lowering. "xla" is lax.conv_general_dilated
@@ -54,19 +56,17 @@ def prenormalized_weights():
 # so the large token dimension sits on the MXU lanes — the XLA conv puts the
 # output channels there, capping lane use at O/128 for the small-O convs
 # (O in {4, 32, 64}) that dominate the flagship denoiser (PERF.md).
-_CONV_IMPL = "xla"
+_CONV_IMPL = contextvars.ContextVar("mp_conv_impl", default="xla")
 
 
 @contextlib.contextmanager
 def conv_layout(impl: str):
     assert impl in ("xla", "im2col_t", "pallas"), impl
-    global _CONV_IMPL
-    prev = _CONV_IMPL
-    _CONV_IMPL = impl
+    tok = _CONV_IMPL.set(impl)
     try:
         yield
     finally:
-        _CONV_IMPL = prev
+        _CONV_IMPL.reset(tok)
 
 # ---------------------------------------------------------------------------
 # Stateless magnitude-preserving ops
@@ -246,7 +246,7 @@ def mp_conv_init(key: jax.Array, in_channels: int, out_channels: int, kernel: Tu
 
 def _mp_weight(params: dict, gain) -> jnp.ndarray:
     w = params["mpw"].astype(jnp.float32)
-    if not _WEIGHTS_PRENORMALIZED:
+    if not _WEIGHTS_PRENORMALIZED.get():
         w = normalize(w)
     fan_in = 1
     for d in w.shape[1:]:
@@ -272,9 +272,9 @@ def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jn
     else:
         pad_h = (kh // 2, kh // 2)
         pad_w = (kw // 2, kw // 2)
-    if _CONV_IMPL == "im2col_t":
+    if _CONV_IMPL.get() == "im2col_t":
         return _conv_im2col_t(x, w, stride, pad_h, pad_w)
-    if _CONV_IMPL == "pallas":
+    if _CONV_IMPL.get() == "pallas" and _pallas_backend_ok():
         from hdmoe_tpu.ops.pallas import conv as pallas_conv
 
         if pallas_conv.supported(x.shape, w.shape, stride):
@@ -286,6 +286,13 @@ def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jn
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
     )
+
+
+def _pallas_backend_ok() -> bool:
+    """The Pallas conv route runs compiled on TPU and interpreted under the
+    CPU test backend; any other backend (e.g. GPU) falls back to the XLA
+    conv — the interpreter there would be orders of magnitude slower."""
+    return jax.default_backend() in ("tpu", "cpu")
 
 
 def _xla_same_conv(x, w):
@@ -339,7 +346,7 @@ def mp_conv_silu_apply(
     from hdmoe_tpu.ops.pallas import conv as pallas_conv
 
     w = _mp_weight(params, gain).astype(x.dtype)
-    if (_CONV_IMPL == "pallas" and x.ndim == 4
+    if (_CONV_IMPL.get() == "pallas" and _pallas_backend_ok() and x.ndim == 4
             and pallas_conv.supported(x.shape, w.shape, 1)):
         return _pallas_conv_silu_ad(x, w, scale)
     if scale is not None:

@@ -22,8 +22,9 @@ exact vs the sequential composition (tests/test_pipeline.py).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +32,26 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+_PP_CTX: list = []  # trace-time stack of (mesh, axis, num_microbatches)
 
-def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stages: int, num_micro: int):
+
+@contextmanager
+def pipeline_context(mesh: Mesh, axis: str = "model", num_microbatches: int = 4):
+    """Declare the mesh axis for pipelined ViT expert blocks
+    (HDMOEMConfig.pipeline_vit_blocks) — trace-time state like
+    parallel.ep.ep_context."""
+    _PP_CTX.append((mesh, axis, num_microbatches))
+    try:
+        yield
+    finally:
+        _PP_CTX.pop()
+
+
+def current_pipeline_context():
+    return _PP_CTX[-1] if _PP_CTX else None
+
+
+def _pipeline_local(stage_params, x_micro, aux_micro, *, stage_fn, axis_name: str, num_stages: int, num_micro: int, has_aux: bool):
     """Per-device pipeline body (inside shard_map).
 
     stage_params: this device's stage (leading stage axis stripped to 1).
@@ -61,7 +80,16 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stag
 
         my_micro = t - s  # which microbatch this device works on this tick
         active = jnp.logical_and(my_micro >= 0, my_micro < num_micro)
-        y = stage_fn(stage_params, x_in)
+        if has_aux:
+            # per-microbatch side input (e.g. the time embedding): replicated
+            # across stages, indexed locally by the microbatch this device is
+            # processing — no extra communication.
+            aux_in = lax.dynamic_index_in_dim(
+                aux_micro, jnp.clip(my_micro, 0, num_micro - 1), axis=0, keepdims=False
+            )
+            y = stage_fn(stage_params, x_in, aux_in)
+        else:
+            y = stage_fn(stage_params, x_in)
         y = jnp.where(active, y, buf)
 
         # last stage writes its finished microbatch
@@ -85,18 +113,22 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, axis_name: str, num_stag
 
 
 def gpipe(
-    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[..., jnp.ndarray],
     stacked_stage_params: Any,
     x: jnp.ndarray,
     mesh: Mesh,
     axis: str = "model",
     num_microbatches: int = 4,
+    aux: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``x`` through S pipelined stages sharded over ``mesh[axis]``.
 
     ``stage_fn(params_s, x) -> y`` with y.shape == x.shape (homogeneous
     stages); ``stacked_stage_params`` leaves have leading dim S. The batch
-    must divide by ``num_microbatches``.
+    must divide by ``num_microbatches``. With ``aux`` (a batch-leading side
+    input, e.g. a conditioning embedding), the stage signature becomes
+    ``stage_fn(params_s, x, aux_microbatch)`` — aux is microbatched in
+    lockstep with ``x`` and indexed locally on every stage.
     """
     s = mesh.shape[axis]
     lead = jax.tree_util.tree_leaves(stacked_stage_params)[0].shape[0]
@@ -104,6 +136,12 @@ def gpipe(
     b = x.shape[0]
     assert b % num_microbatches == 0
     x_micro = x.reshape(num_microbatches, b // num_microbatches, *x.shape[1:])
+    has_aux = aux is not None
+    aux_micro = (
+        aux.reshape(num_microbatches, b // num_microbatches, *aux.shape[1:])
+        if has_aux
+        else jnp.zeros((num_microbatches, 1), x.dtype)
+    )
 
     param_specs = jax.tree_util.tree_map(lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_stage_params)
     fn = shard_map(
@@ -113,10 +151,11 @@ def gpipe(
             axis_name=axis,
             num_stages=s,
             num_micro=num_microbatches,
+            has_aux=has_aux,
         ),
         mesh=mesh,
-        in_specs=(param_specs, P()),  # inputs replicated; device 0 feeds
+        in_specs=(param_specs, P(), P()),  # inputs replicated; device 0 feeds
         out_specs=P(),
     )
-    outs = fn(stacked_stage_params, x_micro)
+    outs = fn(stacked_stage_params, x_micro, aux_micro)
     return outs.reshape(b, *x.shape[1:])

@@ -37,8 +37,10 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 def _leaf_spec(path, leaf, model_size: int, expert_size: int) -> P:
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
     last = keys[-1] if keys else None
-    # Stacked expert banks: leading expert axis -> "expert" mesh axis.
-    if any(k == "stacked_experts" for k in keys) and leaf.ndim >= 1:
+    # Stacked expert banks (and per-shape-class banks of heterogeneous
+    # pools, models/hdmoem.py:_class_bank_dispatch): leading expert axis ->
+    # "expert" mesh axis.
+    if any(k in ("stacked_experts", "class_banks") for k in keys) and leaf.ndim >= 1:
         if expert_size > 1 and leaf.shape[0] % expert_size == 0:
             return P("expert", *([None] * (leaf.ndim - 1)))
         return P()

@@ -46,7 +46,14 @@ from hdmoe_tpu.train.optim import project_mp_weights
 
 
 class SamplerEngine:
-    """AOT-compiled fixed-batch sampler with weight folding."""
+    """AOT-compiled fixed-batch sampler with weight folding.
+
+    With ``mesh`` (a jax Mesh carrying a ``data`` axis) the executable is
+    compiled data-parallel: the batch shards over ``data``, parameters
+    replicate, and every chip denoises its batch slice — the serving-side
+    analog of the training mesh (per-chip throughput is unchanged; the
+    engine batch must divide the data axis size).
+    """
 
     def __init__(
         self,
@@ -59,40 +66,74 @@ class SamplerEngine:
         softness: float = 1.6,
         vae_kind: str = "fake",
         text_kind: str = "fake",
+        mesh: Optional[Any] = None,
+        data_axis: str = "data",
     ):
         self.cfg = cfg
         self.batch = batch
+        self.mesh = mesh
         self.params = project_mp_weights(params)
         self.vae = make_vae(vae_kind, target_std=cfg.sigma_data)
         self.clip = make_text_encoder(text_kind, width=cfg.text_emb_dim) if cfg.text_emb_dim else None
         scfg = EDMSamplerConfig(num_steps=num_steps, guidance=guidance)
 
-        def precond_fn(x, sigma, text_emb, m1, m2, zeta, transition_point, softness):
-            return precond_apply(
-                self.params, cfg, x, sigma, text_emb, m1, m2, zeta,
-                transition_point=transition_point, softness=softness,
-            )
+        def sample_fn(p, noise, text_emb, k):
+            def precond_fn(x, sigma, te, m1, m2, zeta, transition_point, softness):
+                return precond_apply(
+                    p, cfg, x, sigma, te, m1, m2, zeta,
+                    transition_point=transition_point, softness=softness,
+                )
 
-        den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness)
+            den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness)
+            return edm_sample(den, noise, text_emb, scfg, key=k)
+
         shape = (batch, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
         text_shape = (batch, 77, cfg.text_emb_dim) if cfg.text_emb_dim else None
 
+        jit_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape[data_axis]
+            assert batch % n_data == 0, f"batch {batch} must divide data axis {n_data}"
+            rep = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P(data_axis))
+            jit_kw = {
+                "in_shardings": (rep, row, row if text_shape is not None else rep, rep),
+                "out_shardings": row,
+            }
+            self.params = jax.device_put(self.params, rep)
+
+        params_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params
+        )
         noise_spec = jax.ShapeDtypeStruct(shape, jnp.float32)
         key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        text_spec = (
+            jax.ShapeDtypeStruct(text_shape, jnp.float32)
+            if text_shape is not None
+            else jax.ShapeDtypeStruct((1,), jnp.float32)  # unused placeholder
+        )
         with mp_ops.prenormalized_weights():
-            if text_shape is not None:
-                text_spec = jax.ShapeDtypeStruct(text_shape, jnp.float32)
-                self._sample = (
-                    jax.jit(lambda n, t, k: edm_sample(den, n, t, scfg, key=k))
-                    .lower(noise_spec, text_spec, key_spec)
-                    .compile()
+            self._sample_aot = (
+                jax.jit(
+                    sample_fn if text_shape is not None else (lambda p, n, t, k: sample_fn(p, n, None, k)),
+                    **jit_kw,
                 )
-            else:
-                self._sample = (
-                    jax.jit(lambda n, k: edm_sample(den, n, None, scfg, key=k))
-                    .lower(noise_spec, key_spec)
-                    .compile()
-                )
+                .lower(params_spec, noise_spec, text_spec, key_spec)
+                .compile()
+            )
+        self._has_text = text_shape is not None
+        self._text_placeholder = jnp.zeros((1,), jnp.float32)
+
+    def _sample(self, *args):
+        """(noise, text?, key) -> latents through the AOT executable."""
+        if self._has_text:
+            noise, text, k = args
+        else:
+            noise, k = args
+            text = self._text_placeholder
+        return self._sample_aot(self.params, noise, text, k)
 
     def sample(self, prompts: List[str], seed: int = 0) -> np.ndarray:
         """Sample len(prompts) images (padded internally to the engine batch).

@@ -26,6 +26,17 @@ def entropy_loss(probs: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1))
 
 
+def router_entropy(probs: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy of the batch-mean routing distribution.
+
+    Same computation as the router-stats stream (obs/logger.py:94-96), so the
+    training stream's ``entropy`` and the router-stats ``*_entropy`` agree.
+    """
+    usage = probs.mean(axis=0)
+    norm = usage / (usage.sum() + 1e-10)
+    return -jnp.sum(norm * jnp.log(norm + 1e-10))
+
+
 def z_loss(logits: jnp.ndarray) -> jnp.ndarray:
     """Router z-loss ``mean(logsumexp(logits)^2)`` with the reference's
     stability clamps (utils.py:167-172)."""
@@ -86,7 +97,9 @@ def edm_loss(
     - ``denoising``: plain MSE, reporting only.
     - ``balance``: per-router load-balance penalties, clamped.
     - ``z_loss``: z-loss on both routers' raw logits, clamped.
-    - ``entropy``: reported as 0.0 (reference behavior, utils.py:154).
+    - ``entropy``: mean of the two routers' usage entropies (fix-not-copy:
+      the reference hardwires this metric to 0.0 while the helper sits
+      unused, utils.py:154,163-165 — SURVEY.md §7 lists it as a bug).
     - ``loss`` = clamp(pure + z + balance, max=50) (+ optional path prior).
     """
     d = out_model["denoised"].astype(jnp.float32)
@@ -122,6 +135,10 @@ def edm_loss(
         "denoising": denoising,
         "balance": balance,
         "z_loss": zl,
-        "entropy": jnp.asarray(0.0),
+        "entropy": 0.5
+        * (
+            router_entropy(out_model["Unet_router_loss"])
+            + router_entropy(out_model["vit_router_loss"])
+        ),
         "pure_loss": pure,
     }

@@ -56,7 +56,7 @@ def heterogeneous_config2(total_steps: int = 5000):
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=model.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
     run = RunConfig(
-        dataset="synthetic", data_img_res=32, vae="none",
+        dataset="synthetic-native", data_img_res=32, vae="none",
         total_steps=total_steps, save_dir="./checkpoints/hetero_config2",
         run_name="hetero_config2",
     )
@@ -75,7 +75,7 @@ def text_guided_64(total_steps: int = 5000):
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=model.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
     run = RunConfig(
-        dataset="synthetic", data_img_res=64, vae="none", text_encoder="fake",
+        dataset="synthetic-native", data_img_res=64, vae="none", text_encoder="fake",
         total_steps=total_steps, save_dir="./checkpoints/text64",
         run_name="text_guided_64",
     )
@@ -89,7 +89,7 @@ def latent_256_clip(total_steps: int = 5000):
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=model.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
     run = RunConfig(
-        dataset="synthetic", data_img_res=256, vae="auto", text_encoder="auto",
+        dataset="synthetic-native", data_img_res=256, vae="auto", text_encoder="auto",
         total_steps=total_steps, save_dir="./checkpoints/latent256",
         run_name="latent_256_clip",
     )
@@ -97,13 +97,16 @@ def latent_256_clip(total_steps: int = 5000):
 
 
 def moedit_64expert_ep(total_steps: int = 5000, mesh: MeshConfig = MeshConfig(data=1, model=1, expert=16)):
-    """64 stacked experts with expert-parallel sharding (v5e-16 stretch):
-    identical expert architecture (stacked banks), top-2 routing, capacity
-    dispatch, bf16 compute."""
+    """64 HETEROGENEOUS experts with expert-parallel sharding (v5e-16
+    stretch): experts keep per-expert kernel/patch sizes — the reference's
+    defining feature (model_config1.py:152-177) — via shape-class banks
+    (two 32-member classes per path, each bank sharded over the 16-way
+    expert axis); top-2 routing, capacity dispatch, bf16 compute."""
     model = default_model_config(
         num_experts=64, top_k=2,
-        unet_kernel_sizes=((3, 3),) * 64, vit_patch_sizes=(8,) * 64,
-        expert_sharing="stacked", dispatch="capacity", capacity_factor=2.0,
+        unet_kernel_sizes=((3, 3),) * 32 + ((5, 5),) * 32,
+        vit_patch_sizes=(4,) * 32 + (8,) * 32,
+        expert_sharing="class_banks", dispatch="capacity", capacity_factor=2.0,
         compute_dtype="bfloat16",
         # explicit all-to-all token exchange over ICI (parallel/ep.py) —
         # plain GSPMD all-gathers the 64-expert banks (HLO-verified,
@@ -113,11 +116,11 @@ def moedit_64expert_ep(total_steps: int = 5000, mesh: MeshConfig = MeshConfig(da
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=64, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
     run = RunConfig(
-        dataset="synthetic", data_img_res=256, vae="fake",
+        dataset="synthetic-native", data_img_res=256, vae="fake",
         total_steps=total_steps, save_dir="./checkpoints/moedit64",
         run_name="moedit_64expert_ep", mesh=mesh,
     )
-    mask = _mask_cfg([3] * 64, [8] * 64)
+    mask = _mask_cfg([3] * 32 + [5] * 32, [4] * 32 + [8] * 32)
     return model, optim, loss, mask, run
 
 

@@ -180,7 +180,7 @@ def training_hdmoe(
     # Resume continues the deterministic batch stream where it left off
     # (start_batch fast-forward) instead of replaying epoch 0.
     batches = batch_iterator(dataset, run.batch_size, seed=run.seed, start_batch=start_step)
-    data_it = prefetch_to_device(batches, size=2, device=data_target)
+    data_it = prefetch_to_device(batches, size=4, device=data_target)
     for step in range(start_step, run.total_steps):
         pixels = next(data_it)
         key, k_enc, k_step = jax.random.split(key, 3)

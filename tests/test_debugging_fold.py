@@ -45,7 +45,25 @@ def test_prenormalized_weights_fold_equivalence():
 
 
 def test_prenormalized_context_restores():
-    assert not mp._WEIGHTS_PRENORMALIZED
+    assert not mp._WEIGHTS_PRENORMALIZED.get()
     with mp.prenormalized_weights():
-        assert mp._WEIGHTS_PRENORMALIZED
-    assert not mp._WEIGHTS_PRENORMALIZED
+        assert mp._WEIGHTS_PRENORMALIZED.get()
+    assert not mp._WEIGHTS_PRENORMALIZED.get()
+
+
+def test_trace_time_switches_are_context_local():
+    """Concurrent traces must not leak conv-impl/prenorm state (ContextVar,
+    not module global): a context set in one thread is invisible in another."""
+    import threading
+
+    seen = {}
+
+    def other_thread():
+        seen["conv"] = mp._CONV_IMPL.get()
+        seen["prenorm"] = mp._WEIGHTS_PRENORMALIZED.get()
+
+    with mp.conv_layout("pallas"), mp.prenormalized_weights():
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert seen == {"conv": "xla", "prenorm": False}

@@ -256,3 +256,130 @@ def test_grouped_dispatch_matches_capacity():
     dense_cfg = replace(cfg, dispatch="dense")
     out_dense = precond_apply(params, dense_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
     np.testing.assert_allclose(np.asarray(out_grp), np.asarray(out_dense), atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# reroute_overflow (capacity_policy="priority") semantics
+# ---------------------------------------------------------------------------
+
+
+def test_reroute_overflow_noop_without_overflow():
+    gate = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    probs = jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3], [0.4, 0.6]])
+    out = moe.reroute_overflow(gate, probs, capacity=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gate))
+
+
+def test_reroute_overflow_keeps_most_confident_and_reroutes_rest():
+    # 8 tokens all top-1 routed to expert 0 with distinct confidences;
+    # capacity 4: the 4 most-confident keep expert 0, the other 4 move to
+    # their second choice (expert 1), nobody is dropped.
+    b = 8
+    p0 = jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.55, 0.54, 0.53, 0.52])
+    probs = jnp.stack([p0, 1.0 - p0], axis=1)
+    gate = jnp.stack([jnp.ones(b), jnp.zeros(b)], axis=1)
+    out = np.asarray(moe.reroute_overflow(gate, probs, capacity=4))
+    kept = out[:, 0] > 0
+    assert kept.tolist() == [True, True, True, True, False, False, False, False]
+    moved = out[:, 1] > 0
+    assert moved.tolist() == [False, False, False, False, True, True, True, True]
+    # total per-token weight preserved
+    np.testing.assert_allclose(out.sum(axis=1), np.ones(b))
+
+
+def test_reroute_overflow_never_targets_masked_experts():
+    # expert 1 is specialization-masked (prob exactly 0): overflow from
+    # expert 0 must stay dropped rather than leak onto the masked expert.
+    b = 6
+    probs = jnp.stack([jnp.ones(b), jnp.zeros(b)], axis=1)
+    gate = jnp.stack([jnp.ones(b), jnp.zeros(b)], axis=1)
+    out = np.asarray(moe.reroute_overflow(gate, probs, capacity=4))
+    assert (out[:, 1] == 0).all()
+    assert int((out[:, 0] > 0).sum()) == 4
+
+
+def test_reroute_overflow_competition_for_leftover_capacity():
+    # expert 1 already holds 3 native tokens (capacity 4 -> 1 leftover slot);
+    # two overflow tokens from expert 0 compete for it — the more confident
+    # (token 4: prob 0.45 for expert 1) wins, the other is dropped.
+    gate = jnp.asarray([
+        [1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0],
+        [0.0, 1.0], [0.0, 1.0], [0.0, 1.0],
+    ])
+    probs = jnp.asarray([
+        [0.9, 0.1], [0.8, 0.2], [0.7, 0.3], [0.6, 0.4],
+        [0.55, 0.45], [0.58, 0.42],
+        [0.2, 0.8], [0.3, 0.7], [0.4, 0.6],
+    ])
+    out = np.asarray(moe.reroute_overflow(gate, probs, capacity=4))
+    # experts hold at most capacity tokens
+    assert (out > 0).sum(axis=0).max() <= 4
+    # top-4 confident keep expert 0
+    assert (out[:4, 0] > 0).all()
+    # token 4 (conf 0.45 for expert 1) wins the single leftover slot
+    assert out[4, 1] == 1.0 and out[4, 0] == 0.0
+    # token 5 (conf 0.42) loses and is dropped entirely
+    assert out[5].sum() == 0.0
+    # native expert-1 tokens untouched
+    assert (out[6:, 1] > 0).all()
+
+
+def test_priority_policy_engages_in_model_under_correlated_routing():
+    """Model-level: with sigma-correlated routing (sampling regime: one
+    sigma for the whole batch) and cf=1.0, the priority policy's rerouting
+    actually engages (output differs from fcfs) and stays finite. The
+    no-sample-dropped guarantee itself is pinned at the gate level by the
+    reroute_overflow unit tests above; the quality claim is measured end to
+    end on a trained checkpoint (artifacts/serving_dial_r3.json)."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import default_model_config, precond_apply, precond_init
+
+    cfg = default_model_config(
+        img_resolution=8, internal_channels=16, time_emb_dim=16, text_emb_dim=0,
+        num_experts=2, vit_patch_sizes=(2, 4), vit_emb_size=16, vit_num_blocks=1,
+        vit_num_groups=4, vit_num_heads=4, unet_num_blocks=1,
+        unet_model_channels=16, unet_kernel_sizes=((3, 3), (5, 5)),
+        log_var_channels=8, dispatch="capacity", capacity_factor=1.0,
+    )
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.full((b, 1, 1, 1), 0.5)  # one sigma for the whole batch
+
+    def run(policy):
+        c = replace(cfg, capacity_policy=policy)
+        return precond_apply(params, c, x, sigma, None, None, None, 0.0)["denoised"]
+
+    out_fcfs = run("fcfs")
+    out_prio = run("priority")
+    assert bool(jnp.isfinite(out_prio).all())
+    # correlated routing at cf=1.0 overloads one expert -> the two policies
+    # must actually select/reroute differently
+    assert float(jnp.abs(out_prio - out_fcfs).max()) > 0.0
+
+
+def test_priority_policy_grads_flow():
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import default_model_config, precond_apply, precond_init
+
+    cfg = default_model_config(
+        img_resolution=8, internal_channels=16, time_emb_dim=16, text_emb_dim=0,
+        num_experts=2, vit_patch_sizes=(2, 4), vit_emb_size=16, vit_num_blocks=1,
+        vit_num_groups=4, vit_num_heads=4, unet_num_blocks=1,
+        unet_model_channels=16, unet_kernel_sizes=((3, 3), (5, 5)),
+        log_var_channels=8, dispatch="capacity", capacity_factor=1.0,
+        capacity_policy="priority",
+    )
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    sigma = jnp.full((4, 1, 1, 1), 0.5)
+
+    def loss(p):
+        return jnp.sum(
+            precond_apply(p, cfg, x, sigma, None, None, None, 0.0)["denoised"] ** 2
+        )
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))

@@ -28,7 +28,9 @@ def test_all_presets_build():
     m1, *_ = presets.cifar10_pixel_config1()
     assert m1.variant == "config1" and m1.text_emb_dim == 0 and m1.in_channels == 3
     m5, *_ = presets.moedit_64expert_ep()
-    assert m5.num_experts == 64 and m5.expert_sharing == "stacked" and m5.top_k == 2
+    assert m5.num_experts == 64 and m5.expert_sharing == "class_banks" and m5.top_k == 2
+    # heterogeneity survives EP scale: two shape classes per path
+    assert len(set(m5.unet_kernel_sizes)) == 2 and len(set(m5.vit_patch_sizes)) == 2
 
 
 def test_preset_model_init_and_forward_cifar():

@@ -95,7 +95,30 @@ def test_edm_loss_perfect_prediction():
     # perfect prediction, logvar=0 -> pure = 0; total = 0
     np.testing.assert_allclose(float(out["loss"]), 0.0, atol=1e-6)
     np.testing.assert_allclose(float(out["denoising"]), 0.0, atol=1e-7)
-    assert float(out["entropy"]) == 0.0
+    # entropy is WIRED (fix-not-copy of the reference's hardwired 0.0,
+    # utils.py:154): uniform 4-expert routing -> ln 4, matching the
+    # router-stats stream's computation (obs/logger.py:94-96).
+    np.testing.assert_allclose(float(out["entropy"]), math.log(4.0), rtol=1e-5)
+
+
+def test_edm_loss_entropy_matches_router_stats_stream():
+    """The training-stream entropy must equal the logger's usage entropy."""
+    key = jax.random.PRNGKey(3)
+    probs_u = jax.nn.softmax(jax.random.normal(key, (16, 4)), axis=-1)
+    probs_v = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(4), (16, 4)), axis=-1)
+    fo = _fake_out(b=16)
+    fo["Unet_router_loss"] = probs_u
+    fo["vit_router_loss"] = probs_v
+    cfg = EDMLossConfig(num_experts=4)
+    out = edm_loss(cfg, jnp.zeros((16, 8, 8, 3)), jnp.ones((16, 1, 1, 1)), fo)
+
+    def stream_entropy(p):  # obs/logger.py:94-96
+        usage = np.asarray(p).mean(axis=0)
+        norm = usage / (usage.sum() + 1e-10)
+        return float(-np.sum(norm * np.log(norm + 1e-10)))
+
+    expected = 0.5 * (stream_entropy(probs_u) + stream_entropy(probs_v))
+    np.testing.assert_allclose(float(out["entropy"]), expected, rtol=1e-5)
 
 
 def test_edm_loss_uncertainty_weighting():

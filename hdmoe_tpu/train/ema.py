@@ -42,8 +42,15 @@ class EmaTracker:
         self.snapshot_every = snapshot_every
         self.snapshots: List[Tuple[int, Any]] = []
 
-    def update(self, params: Any, step: int) -> None:
-        d = warmup_decay(self.decay, step)
+    def update(self, params: Any, step: int, steps_elapsed: int = 1) -> None:
+        """Fold ``steps_elapsed`` optimizer steps into the average.
+
+        With the device-side multi-step loop (train_loop steps_per_call > 1)
+        the tracker sees params only every K steps; the equivalent per-call
+        decay is ``d**K`` (same asymptotic averaging length as per-step EMA
+        of decay d; the intermediate-params cross terms it skips are
+        O((1-d)^2))."""
+        d = warmup_decay(self.decay, step) ** max(1, steps_elapsed)
         self.ema_params = ema_update(self.ema_params, params, d)
-        if self.snapshot_every and step > 0 and step % self.snapshot_every == 0:
+        if self.snapshot_every and step > 0 and step % self.snapshot_every < max(1, steps_elapsed):
             self.snapshots.append((step, self.ema_params))

@@ -53,7 +53,10 @@ class RunConfig:
     save_interval: int = 1000
     log_interval: int = 10
     data_img_res: int = 256
-    dataset: str = "synthetic"  # synthetic | flowers102 | cifar10
+    # synthetic | synthetic-native (C++ host gen) | synthetic-device
+    # (generated INSIDE the jitted step — zero H2D) | flowers102 | cifar10
+    # | imagefolder
+    dataset: str = "synthetic"
     data_root: str = "./data"
     fixed_prompt: str = "a photo of a flower"
     vae: str = "fake"  # fake | real | auto
@@ -67,6 +70,13 @@ class RunConfig:
     # per-step accumulation; log_interval-aligned values avoid the per-step
     # device->host roundtrip that dominates small-model training throughput).
     telemetry_every: int = 1
+    # Device-side multi-step loop (train_step.make_train_multistep): the
+    # host stacks K batches into one (K, B, ...) transfer and ONE dispatch
+    # runs K optimizer steps — amortizes per-step dispatch/transfer latency,
+    # which round-3 measured as the actual full-loop bottleneck
+    # (artifacts/feed_throughput_r3.json). Telemetry/checkpoint granularity
+    # becomes K steps. Single-device path only (mesh runs keep 1).
+    steps_per_call: int = 1
 
 
 def training_hdmoe(
@@ -160,6 +170,31 @@ def training_hdmoe(
     else:
         jit_step = jax.jit(step_fn, donate_argnums=0)
 
+    k_call = max(1, int(run.steps_per_call))
+    device_gen = run.dataset == "synthetic-device"
+    if device_gen:
+        # The batch never exists on the host: device synthetic pixels +
+        # frozen-VAE encode run INSIDE the (multi-)step program. Requires a
+        # traceable VAE (the fake one; the real SD-VAE path keeps host data).
+        assert run.mesh is None, "synthetic-device is a single-device knob"
+        assert hasattr(vae, "_proj"), "synthetic-device requires the fake VAE"
+        from hdmoe_tpu.train.data import device_flowers_batch
+        from hdmoe_tpu.train.train_step import make_train_devicegen
+
+        def _latents_fn(k):
+            kp, ke = jax.random.split(k)
+            px = device_flowers_batch(kp, run.batch_size, run.data_img_res)
+            return vae.encode(px, ke)
+
+        jit_step = jax.jit(
+            make_train_devicegen(step_fn, _latents_fn, text_emb, k_call), donate_argnums=0
+        )
+    elif k_call > 1:
+        assert run.mesh is None, "steps_per_call > 1 is a single-device knob"
+        from hdmoe_tpu.train.train_step import make_train_multistep
+
+        jit_step = jax.jit(make_train_multistep(step_fn, k_call), donate_argnums=0)
+
     logger = Logger(log_dir=run.log_dir, run_name=run.run_name, log_interval=run.log_interval)
     timer = StepTimer()
     ema = None
@@ -179,18 +214,39 @@ def training_hdmoe(
     start_step = int(state.step)
     # Resume continues the deterministic batch stream where it left off
     # (start_batch fast-forward) instead of replaying epoch 0.
-    batches = batch_iterator(dataset, run.batch_size, seed=run.seed, start_batch=start_step)
-    data_it = prefetch_to_device(batches, size=4, device=data_target)
-    for step in range(start_step, run.total_steps):
-        pixels = next(data_it)
+    if device_gen:
+        data_it = None
+    else:
+        batches = batch_iterator(dataset, run.batch_size, seed=run.seed, start_batch=start_step)
+        if k_call > 1:
+            import numpy as _np
+
+            def _grouped(it, k):
+                while True:
+                    yield _np.stack([next(it) for _ in range(k)])
+
+            batches = _grouped(batches, k_call)
+        data_it = prefetch_to_device(batches, size=4, device=data_target)
+    for step in range(start_step, run.total_steps, k_call):
         key, k_enc, k_step = jax.random.split(key, 3)
-        latents = encode(pixels, k_enc)
-        state, metrics, aux = jit_step(state, latents, text_emb, k_step)
+        if device_gen:
+            state, metrics, aux = jit_step(state, k_step)
+        else:
+            pixels = next(data_it)
+            if k_call > 1:
+                # one encode dispatch for the whole (K, B, ...) block
+                flat = pixels.reshape(pixels.shape[0] * pixels.shape[1], *pixels.shape[2:])
+                latents = encode(flat, k_enc)
+                latents = latents.reshape(pixels.shape[0], pixels.shape[1], *latents.shape[1:])
+            else:
+                latents = encode(pixels, k_enc)
+            state, metrics, aux = jit_step(state, latents, text_emb, k_step)
         if ema is not None:
-            ema.update(state.params, step)
+            ema.update(state.params, step, steps_elapsed=k_call)
         timer.tick()
 
-        fetch = run.telemetry_every <= 1 or step % run.telemetry_every == 0 or step == run.total_steps - 1
+        fetch = (run.telemetry_every <= k_call or step % run.telemetry_every < k_call
+                 or step + k_call >= run.total_steps)
         if fetch:
             # One host transfer for all telemetry (not one per scalar — each
             # device->host read costs a full roundtrip).
@@ -205,8 +261,8 @@ def training_hdmoe(
             logger.log_weight_statistics(step, state.params)
             current_mse = float(metrics["denoising"])
 
-        if step % run.print_interval == 0:
-            ips = timer.images_per_sec(run.batch_size)
+        if step % run.print_interval < k_call:
+            ips = timer.images_per_sec(run.batch_size * k_call)
             print(
                 f"Step {step}/{run.total_steps} | loss {float(metrics['loss']):.4f} | "
                 f"MSE {current_mse:.4f} | z {float(metrics['z_loss']):.4f} | "
@@ -214,7 +270,7 @@ def training_hdmoe(
                 f"logvar {float(metrics['log_var']):.3f}"
                 + (f" | {ips:.1f} img/s" if ips else "")
             )
-        if run.save_interval and step > 0 and step % run.save_interval == 0:
+        if run.save_interval and step > 0 and step % run.save_interval < k_call:
             ckpt.save(state, key, mse=current_mse, configs=configs_blob)
 
     trace_ctx.close()

@@ -144,3 +144,71 @@ def make_train_step(
         return new_state, metrics, aux
 
     return train_step
+
+
+def make_train_multistep(train_step, k: int):
+    """Device-side multi-step loop: ``lax.scan`` over K optimizer steps.
+
+    The round-3 feed measurement (artifacts/feed_throughput_r3.json) showed
+    the full training loop is bound by per-step dispatch + transfer overhead
+    (neither the native data generator nor reduced telemetry moved it) —
+    every step pays host->device latency for the batch plus a program
+    dispatch. This wrapper amortizes both K-fold: the host stacks K batches
+    into one (K, B, ...) transfer and ONE dispatch runs K full optimizer
+    updates on device. Telemetry returns the LAST step's metrics/aux (the
+    host logger samples at >= K-step granularity, same spirit as
+    RunConfig.telemetry_every).
+
+    ``multi(state, latents_k(K,B,H,W,C), text_emb(B,...)|None, key)`` —
+    the text embedding is the fixed-prompt embedding shared by every step
+    (train_loop computes it once).
+    """
+    from jax import lax
+
+    def multi(state, latents_k, text_emb, key):
+        keys = jax.random.split(key, k)
+
+        def body(st, inp):
+            lat, kk = inp
+            st, metrics, aux = train_step(st, lat, text_emb, kk)
+            return st, (metrics, aux)
+
+        state, (metrics_k, aux_k) = lax.scan(body, state, (latents_k, keys))
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
+        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
+        return state, metrics, aux
+
+    return multi
+
+
+def make_train_devicegen(train_step, latents_fn, text_emb, k: int):
+    """K optimizer steps per dispatch with ON-DEVICE data generation.
+
+    The terminal form of the round-3 feed finding (artifacts/
+    feed_throughput_r3.json): host generator choice and telemetry cadence
+    barely moved the full loop because it is bound by per-step H2D image
+    transfer + dispatch. Here the batch never exists on the host at all —
+    ``latents_fn(key) -> (B, h, w, c) latents`` runs inside the program
+    (device synthetic pixels + frozen-VAE encode), and ``lax.scan`` runs K
+    full optimizer steps per dispatch. The loop becomes compute-bound.
+
+    ``devicegen(state, key)`` — metrics/aux are the LAST step's, as in
+    ``make_train_multistep``. ``text_emb`` (the fixed-prompt embedding) is
+    closed over as a trace constant.
+    """
+    from jax import lax
+
+    def devicegen(state, key):
+        keys = jax.random.split(key, k)
+
+        def body(st, kk):
+            k_lat, k_step = jax.random.split(kk)
+            st, metrics, aux = train_step(st, latents_fn(k_lat), text_emb, k_step)
+            return st, (metrics, aux)
+
+        state, (metrics_k, aux_k) = lax.scan(body, state, keys)
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
+        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
+        return state, metrics, aux
+
+    return devicegen

@@ -16,6 +16,8 @@ import contextlib
 import io
 import json
 import os
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: skip HF retries
 import re
 import sys
 import time
@@ -27,7 +29,7 @@ STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 OUT = sys.argv[2] if len(sys.argv) > 2 else "artifacts/feed_throughput_r3.json"
 
 
-def run_once(name, dataset, telemetry_every, steps):
+def run_once(name, dataset, telemetry_every, steps, steps_per_call=1):
     from hdmoe_tpu.train import presets
     from hdmoe_tpu.train.configs import zeta_configs
     from hdmoe_tpu.train.train_loop import training_hdmoe
@@ -36,6 +38,7 @@ def run_once(name, dataset, telemetry_every, steps):
     model = replace(model, skip_mode="canonical")
     run = replace(
         run, dataset=dataset, telemetry_every=telemetry_every,
+        vae="fake", text_encoder="fake", steps_per_call=steps_per_call,
         save_interval=0, total_steps=steps, print_interval=50,
         save_dir=f"/tmp/feed_r3_{name}", log_dir=f"/tmp/feed_r3_{name}_logs",
         run_name=f"feed_{name}",
@@ -62,13 +65,28 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     results = {}
     combos = [
-        ("python_t1", "synthetic", 1),          # round-2 configuration
-        ("python_t10", "synthetic", 10),
-        ("native_t1", "synthetic-native", 1),
-        ("native_t10", "synthetic-native", 10),  # round-3 defaults
+        ("python_t1", "synthetic", 1, 1),          # round-2 configuration
+        ("python_t10", "synthetic", 10, 1),
+        ("native_t1", "synthetic-native", 1, 1),
+        ("native_t10", "synthetic-native", 10, 1),
+        # device-side multi-step loop: K optimizer steps per dispatch
+        ("native_k8", "synthetic-native", 10, 8),
+        ("native_k16", "synthetic-native", 10, 16),
+        # on-device datagen: batch never exists on the host (zero H2D)
+        ("device_k1", "synthetic-device", 10, 1),
+        ("device_k8", "synthetic-device", 10, 8),
     ]
-    for name, ds, tel in combos:
-        r = run_once(name, ds, tel, STEPS)
+    only = os.environ.get("FEED_ONLY", "")
+    if only:
+        combos = [c for c in combos if c[0] in only.split(",")]
+    # merge into any existing results file (incremental sweeps)
+    if os.path.exists(OUT):
+        results.update(json.load(open(OUT)))
+    for name, ds, tel, k in combos:
+        # StepTimer's 50-tick rolling window counts CALLS; k>1 runs need
+        # k x the steps so the final window excludes the compile call
+        # (the round-3 native_k8@300 number was all-window == incl-compile).
+        r = run_once(name, ds, tel, STEPS * min(k, 8), steps_per_call=k)
         results[name] = r
         print(f"[{name}] {r}", flush=True)
         with open(OUT, "w") as f:

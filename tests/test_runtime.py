@@ -73,6 +73,33 @@ def test_synthetic_dataset_and_iterator():
     assert b1.shape == (4, 32, 32, 3)
 
 
+def test_device_flowers_batch_matches_host_family():
+    """The on-device generator (device_flowers_batch) is the jnp twin of the
+    host synthetic_flowers family: same shapes/range, same distributional
+    statistics (per-image mean/std over a batch), deterministic in the key,
+    distinct across the batch."""
+    import jax
+
+    from hdmoe_tpu.train.data import device_flowers_batch
+
+    res, b = 32, 64
+    key = jax.random.PRNGKey(0)
+    dev = np.asarray(jax.jit(lambda k: device_flowers_batch(k, b, res))(key))
+    assert dev.shape == (b, res, res, 3) and dev.dtype == np.float32
+    assert dev.min() >= 0.0 and dev.max() <= 255.0
+    np.testing.assert_array_equal(
+        dev, np.asarray(device_flowers_batch(key, b, res)))  # key-deterministic
+    assert not np.array_equal(dev[0], dev[1])  # batch-varied
+
+    host = np.stack([make_dataset("synthetic", resolution=res, seed=0).get(i)
+                     for i in range(b)]).astype(np.float32)
+    # distributional match: batch-level mean/std of per-image statistics
+    for stat in (lambda x: x.mean(axis=(1, 2, 3)), lambda x: x.std(axis=(1, 2, 3))):
+        d, h = stat(dev), stat(host)
+        assert abs(d.mean() - h.mean()) < 0.25 * h.mean(), (d.mean(), h.mean())
+        assert abs(d.std() - h.std()) < 0.5 * h.std() + 2.0, (d.std(), h.std())
+
+
 def test_batch_iterator_start_batch_fast_forward():
     """Resume fast-forward: iterator(start_batch=k) yields the same stream as
     consuming k batches first — incl. across epoch boundaries (size 8 / bs 2

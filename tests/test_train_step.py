@@ -103,3 +103,89 @@ def test_sharded_step_matches_single_device():
     _, m2, _ = sharded(state_sh, latents, text, k)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
     np.testing.assert_allclose(float(m1["denoising"]), float(m2["denoising"]), rtol=2e-4)
+
+
+def test_multistep_matches_sequential_steps():
+    """make_train_multistep(K): one scanned dispatch == K sequential
+    train_step calls with the same split keys (state, metrics, aux all
+    match; metrics/aux are the LAST step's)."""
+    from hdmoe_tpu.train.train_step import make_train_multistep
+
+    k = 3
+    cfg, step_fn, state, latents, text = _build(b=4)
+    lat_k = jnp.stack([latents * (1.0 + 0.1 * i) for i in range(k)])
+    key = jax.random.PRNGKey(9)
+
+    # sequential reference (jitted once — eager per-op dispatch of a full
+    # train step takes minutes on the 1-CPU host)
+    seq_state = state
+    keys = jax.random.split(key, k)
+    jit_ref = jax.jit(step_fn)
+    for i in range(k):
+        seq_state, seq_metrics, seq_aux = jit_ref(seq_state, lat_k[i], text, keys[i])
+
+    multi = jax.jit(make_train_multistep(step_fn, k))
+    m_state, m_metrics, m_aux = multi(state, lat_k, text, key)
+
+    assert int(m_state.step) == int(seq_state.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(seq_state.params),
+                    jax.tree_util.tree_leaves(m_state.params)):
+        # jitted-scan vs eager sequential: fp fusion/reassociation drift only
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(float(m_metrics["loss"]), float(seq_metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_aux["sigma"]), np.asarray(seq_aux["sigma"]), rtol=1e-6)
+
+
+def test_training_loop_device_gen(tmp_path):
+    """dataset="synthetic-device": the batch is generated + VAE-encoded
+    inside the jitted multi-step program (zero host->device image
+    transfer); the loop completes with finite loss."""
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    loss_cfg = EDMLossConfig(num_experts=cfg.num_experts)
+    optim_cfg = OptimConfig(total_schedule_steps=6)
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    zeta_cfg = {"total_schedule_steps": 6, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="devgen", batch_size=4, total_steps=6, save_interval=0,
+        data_img_res=64, dataset="synthetic-device", vae="fake",
+        text_encoder="fake", steps_per_call=3,
+    )
+    final = training_hdmoe(cfg, optim_cfg, loss_cfg, mask_cfg, zeta_cfg, run)
+    assert np.isfinite(final["loss"])
+
+
+def test_training_loop_steps_per_call(tmp_path):
+    """training_hdmoe with steps_per_call=4 completes, counts steps right,
+    and checkpoints/EMA land at call granularity."""
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    loss_cfg = EDMLossConfig(num_experts=cfg.num_experts)
+    optim_cfg = OptimConfig(total_schedule_steps=8)
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    zeta_cfg = {"total_schedule_steps": 8, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="msteps", batch_size=4, total_steps=8, save_interval=0,
+        data_img_res=64, dataset="synthetic", vae="fake",
+        text_encoder="fake", steps_per_call=4, ema_decay=0.999,
+    )
+    final = training_hdmoe(cfg, optim_cfg, loss_cfg, mask_cfg, zeta_cfg, run)
+    assert np.isfinite(final["loss"])

@@ -34,6 +34,10 @@ def _cmd_train(args):
         overrides["resume"] = True
     if args.ema_decay:
         overrides["ema_decay"] = args.ema_decay
+    if args.dataset:
+        overrides["dataset"] = args.dataset
+    if args.steps_per_call:
+        overrides["steps_per_call"] = args.steps_per_call
     if overrides:
         run = replace(run, **overrides)
     training_hdmoe(model, optim, loss, mask, zeta_configs, run)
@@ -156,6 +160,13 @@ def main(argv=None):
     p_train.add_argument("--batch-size", type=int, default=0)
     p_train.add_argument("--resume", action="store_true")
     p_train.add_argument("--ema-decay", type=float, default=0.0)
+    p_train.add_argument("--dataset", default="",
+                         help="override the preset dataset (synthetic | "
+                              "synthetic-native | synthetic-device | "
+                              "imagefolder | flowers102 | cifar10)")
+    p_train.add_argument("--steps-per-call", type=int, default=0,
+                         help="K optimizer steps per device dispatch "
+                              "(single-device; amortizes dispatch/transfer)")
     p_train.set_defaults(fn=_cmd_train)
 
     p_sample = sub.add_parser("sample", help="sample from a checkpoint")

@@ -4,5 +4,6 @@ from hdmoe_tpu.parallel.sharding import (
     batch_sharding,
     replicated,
     shard_train_state,
+    make_sharded_train_devicegen,
     make_sharded_train_step,
 )

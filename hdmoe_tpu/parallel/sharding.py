@@ -105,3 +105,35 @@ def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
 
     donate = (0,) if donate_state else ()
     return jax.jit(wrapped, donate_argnums=donate)
+
+
+def make_sharded_train_devicegen(train_step, latents_fn, text_emb, mesh: Mesh, k: int = 1):
+    """Mesh version of ``train_step.make_train_devicegen``: on-device data
+    generation INSIDE the sharded program, K optimizer steps per dispatch.
+
+    ``latents_fn(key) -> (B, h, w, c)`` is batch-elementwise (the synthetic
+    generator + frozen-VAE encode), so the ``P("data", ...)`` constraint
+    lets GSPMD partition generation across the data axis — every chip
+    produces exactly its own batch shard and the feed path involves NO host
+    IO and NO collectives at any mesh size.
+    """
+    from jax import lax
+
+    def wrapped(state, key):
+        keys = jax.random.split(key, k)
+
+        def body(st, kk):
+            k_lat, k_step = jax.random.split(kk)
+            lat = jax.lax.with_sharding_constraint(latents_fn(k_lat), batch_sharding(mesh, 4))
+            te = text_emb
+            if te is not None:
+                te = jax.lax.with_sharding_constraint(te, batch_sharding(mesh, te.ndim))
+            st, metrics, aux = train_step(st, lat, te, k_step)
+            return st, (metrics, aux)
+
+        state, (metrics_k, aux_k) = lax.scan(body, state, keys)
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
+        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
+        return state, metrics, aux
+
+    return jax.jit(wrapped, donate_argnums=(0,))

@@ -75,7 +75,8 @@ class RunConfig:
     # runs K optimizer steps — amortizes per-step dispatch/transfer latency,
     # which round-3 measured as the actual full-loop bottleneck
     # (artifacts/feed_throughput_r3.json). Telemetry/checkpoint granularity
-    # becomes K steps. Single-device path only (mesh runs keep 1).
+    # becomes K steps. Host-fed mesh runs keep 1 (dataset="synthetic-device"
+    # supports K>1 on a mesh — generation happens in-program).
     steps_per_call: int = 1
 
 
@@ -176,7 +177,9 @@ def training_hdmoe(
         # The batch never exists on the host: device synthetic pixels +
         # frozen-VAE encode run INSIDE the (multi-)step program. Requires a
         # traceable VAE (the fake one; the real SD-VAE path keeps host data).
-        assert run.mesh is None, "synthetic-device is a single-device knob"
+        # Under a mesh, GSPMD partitions the batch-elementwise generator
+        # across the data axis — each chip produces its own shard, no host
+        # IO, no collectives in the feed path.
         assert hasattr(vae, "_proj"), "synthetic-device requires the fake VAE"
         from hdmoe_tpu.train.data import device_flowers_batch
         from hdmoe_tpu.train.train_step import make_train_devicegen
@@ -186,9 +189,14 @@ def training_hdmoe(
             px = device_flowers_batch(kp, run.batch_size, run.data_img_res)
             return vae.encode(px, ke)
 
-        jit_step = jax.jit(
-            make_train_devicegen(step_fn, _latents_fn, text_emb, k_call), donate_argnums=0
-        )
+        if run.mesh is not None:
+            from hdmoe_tpu.parallel.sharding import make_sharded_train_devicegen
+
+            jit_step = make_sharded_train_devicegen(step_fn, _latents_fn, text_emb, mesh, k_call)
+        else:
+            jit_step = jax.jit(
+                make_train_devicegen(step_fn, _latents_fn, text_emb, k_call), donate_argnums=0
+            )
     elif k_call > 1:
         assert run.mesh is None, "steps_per_call > 1 is a single-device knob"
         from hdmoe_tpu.train.train_step import make_train_multistep

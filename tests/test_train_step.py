@@ -164,6 +164,35 @@ def test_training_loop_device_gen(tmp_path):
     assert np.isfinite(final["loss"])
 
 
+def test_training_loop_device_gen_mesh(tmp_path):
+    """synthetic-device over a data mesh: GSPMD partitions the in-program
+    generator across the data axis (each device produces its own batch
+    shard); K=2 steps per dispatch."""
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    loss_cfg = EDMLossConfig(num_experts=cfg.num_experts)
+    optim_cfg = OptimConfig(total_schedule_steps=4)
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    zeta_cfg = {"total_schedule_steps": 4, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="devgen_mesh", batch_size=8, total_steps=4, save_interval=0,
+        data_img_res=64, dataset="synthetic-device", vae="fake",
+        text_encoder="fake", steps_per_call=2,
+        mesh=MeshConfig(data=4, model=2, expert=1),
+    )
+    final = training_hdmoe(cfg, optim_cfg, loss_cfg, mask_cfg, zeta_cfg, run)
+    assert np.isfinite(final["loss"])
+
+
 def test_training_loop_steps_per_call(tmp_path):
     """training_hdmoe with steps_per_call=4 completes, counts steps right,
     and checkpoints/EMA land at call granularity."""

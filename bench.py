@@ -62,23 +62,31 @@ def _measure(cfg, params, text, noise, n_runs=3, folded=False):
     ctx = mp_ops.prenormalized_weights if folded else contextlib.nullcontext
     with ctx():
         sample = jax.jit(lambda n: edm_sample(denoiser, n, text, scfg)).lower(noise).compile()
+    # Completion barrier: fetch one element of the result. On the
+    # tunnel-attached chip, jax.block_until_ready on a remote array can
+    # return before the dispatch queue drains (round-3 finding: it "timed"
+    # the flagship train step at an impossible 6.8 ms); a value crossing
+    # the wire is the only trustworthy barrier. Costs one ~10 ms roundtrip
+    # per timed region — amortized over n_runs full 35-NFE walls.
     out = sample(noise)
-    jax.block_until_ready(out)
+    float(out[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = sample(noise)
-    jax.block_until_ready(out)
+    float(out[0, 0, 0, 0])
     elapsed = (time.perf_counter() - t0) / n_runs
 
     sigma = jnp.full((BATCH, 1, 1, 1), 0.5)
     with ctx():
         fwd = jax.jit(lambda x: denoiser(x, sigma, text)).lower(noise).compile()
-    jax.block_until_ready(fwd(noise))
+    r = fwd(noise)
+    float(r[0, 0, 0, 0])
+    # 50 runs so the one ~10 ms barrier roundtrip is <4% of the wall
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(50):
         r = fwd(noise)
-    jax.block_until_ready(r)
-    step_ms = (time.perf_counter() - t0) / 5 * 1000.0
+    float(r[0, 0, 0, 0])
+    step_ms = (time.perf_counter() - t0) / 50 * 1000.0
     return BATCH / elapsed, step_ms, elapsed
 
 

@@ -30,6 +30,32 @@ def _to_float(v) -> float:
     return float(np.asarray(v))
 
 
+@jax.jit
+def _bank_weight_stats(tree):
+    """Device-side mean/std/min/max over all >=2-D leaves of an expert bank.
+
+    Returns four scalars; retraces once per bank pytree structure. fp32
+    accumulation matches the reference's float64-on-host within the 6
+    decimals the log stream rounds to."""
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if l.ndim > 1]
+    if not leaves:
+        z = jnp.zeros(())
+        return {"mean": z, "std": z, "max": z, "min": z}
+    count = sum(l.size for l in leaves)
+    total = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    mean = total / count
+    var = jnp.maximum(sq / count - mean**2, 0.0)
+    return {
+        "mean": mean,
+        "std": jnp.sqrt(var),
+        "max": jnp.stack([jnp.max(l) for l in leaves]).max(),
+        "min": jnp.stack([jnp.min(l) for l in leaves]).min(),
+    }
+
+
 class Logger:
     """Four JSONL streams, interval-averaged like the reference
     (graphs/logger.py:36-67, 328-345)."""
@@ -152,27 +178,34 @@ class Logger:
 
     def log_weight_statistics(self, step: int, params) -> None:
         """Mean/std/min/max for the expert banks every 50*log_interval steps
-        (graphs/logger.py:267-326), computed with one device reduction."""
+        (graphs/logger.py:267-326).
+
+        The reduction runs ON DEVICE (jitted, cached on first call) and only
+        four scalars per bank cross to the host. The previous host-side
+        ``np.asarray`` pass fetched the whole param tree and ran float64
+        numpy over it — measured as discrete multi-second training stalls on
+        the tunnel-attached chip (PERF.md round-3 feed findings)."""
         if step % (self.log_interval * 50) != 0:
             return
         net = params.get("net", params)
         record = {"step": int(step)}
+        stats_by_key = {}
+        for key in ("unet_experts", "vit_experts"):
+            if key in net:
+                stats_by_key[key] = _bank_weight_stats(net[key])
+        # one blocking transfer for all scalars (not one sync per stat)
+        stats_by_key = jax.device_get(stats_by_key)
         for log_name, key in (("Unet_experts", "unet_experts"), ("VIT_experts", "vit_experts")):
             if key not in net:
                 continue
-            leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(net[key]) if np.ndim(l) > 1]
-            if not leaves:
+            st = stats_by_key.get(key)
+            if st is None:
                 record[f"{log_name}_weight_mean"] = None
                 continue
-            count = sum(l.size for l in leaves)
-            total = sum(float(l.sum()) for l in leaves)
-            sq = sum(float(np.square(l, dtype=np.float64).sum()) for l in leaves)
-            mean = total / count
-            var = max(sq / count - mean**2, 0.0)
-            record[f"{log_name}_weight_mean"] = round(mean, 6)
-            record[f"{log_name}_weight_std"] = round(math.sqrt(var), 6)
-            record[f"{log_name}_weight_max"] = round(max(float(l.max()) for l in leaves), 6)
-            record[f"{log_name}_weight_min"] = round(min(float(l.min()) for l in leaves), 6)
+            record[f"{log_name}_weight_mean"] = round(float(st["mean"]), 6)
+            record[f"{log_name}_weight_std"] = round(float(st["std"]), 6)
+            record[f"{log_name}_weight_max"] = round(float(st["max"]), 6)
+            record[f"{log_name}_weight_min"] = round(float(st["min"]), 6)
         self._write(self.weight_log_file, record)
 
     # -- internals -----------------------------------------------------------

@@ -85,7 +85,14 @@ def text_guided_64(total_steps: int = 5000):
 def latent_256_clip(total_steps: int = 5000):
     """SD-VAE 256x256 latent diffusion with CLIP conditioning — the reference
     config of record (Utils/configs.py)."""
-    model = default_model_config()
+    model = default_model_config(
+        # flash = the same exact softmax attention, fused: the round-3
+        # train-step A/B measured 53.6 -> 47.0 ms/step (+12%) with losses
+        # identical to 4 decimals after 1248 steps
+        # (artifacts/train_step_dtype_r3.json); bf16_flash (42.4 ms, +26%)
+        # stays opt-in via compute_dtype.
+        use_flash=True,
+    )
     optim = OptimConfig(total_schedule_steps=total_steps)
     loss = EDMLossConfig(num_experts=model.num_experts, unet_bal=0.05, vit_bal=0.1, z_bal=0.005)
     run = RunConfig(

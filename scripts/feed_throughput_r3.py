@@ -75,6 +75,11 @@ def main():
         # on-device datagen: batch never exists on the host (zero H2D)
         ("device_k1", "synthetic-device", 10, 1),
         ("device_k8", "synthetic-device", 10, 8),
+        # probe the periodic ~545->345 img/s stalls seen at telemetry_every=10
+        ("device_k8_t50", "synthetic-device", 50, 8),
+        # same point after the logger's weight-stats reduction moved on
+        # device (the stalls were its host-side full-param-tree np pass)
+        ("device_k8_t50_devstats", "synthetic-device", 50, 8),
     ]
     only = os.environ.get("FEED_ONLY", "")
     if only:

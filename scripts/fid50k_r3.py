@@ -23,6 +23,8 @@ Usage: python scripts/fid50k_r3.py [n] [out_json]
 
 import json
 import os
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: skip HF retries
 import sys
 import time
 from dataclasses import replace

@@ -19,6 +19,8 @@ Usage: python scripts/longrun_r3_ema.py [steps] [n_fid]
 
 import json
 import os
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: skip HF retries
 import sys
 import time
 from dataclasses import replace

@@ -11,6 +11,8 @@ Usage: python scripts/profile_train_step.py [outdir]
 
 import json
 import os
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: skip HF retries
 import sys
 import time
 from dataclasses import replace

@@ -253,3 +253,33 @@ def test_mask_jittable():
     m = f(jnp.full((8, 1, 1, 1), 0.5), jnp.asarray(100))
     assert m.shape == (8, 4)
     assert set(np.unique(np.asarray(m))) <= {0.0, 1.0}
+
+
+def test_log_weight_statistics_device_reduction(tmp_path):
+    """The weight-stats reduction runs on device and matches a direct numpy
+    computation over the same leaves (>=2-D only), at the reference's
+    50*log_interval cadence (graphs/logger.py:267-326)."""
+    import json
+
+    from hdmoe_tpu.obs.logger import Logger
+
+    rng = np.random.default_rng(0)
+    bank = {
+        "w1": {"mpw": jnp.asarray(rng.normal(size=(4, 3, 3, 8)).astype(np.float32))},
+        "w2": {"mpw": jnp.asarray(rng.normal(2.0, 0.5, size=(16, 8)).astype(np.float32))},
+        "bias": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),  # 1-D: excluded
+    }
+    params = {"net": {"unet_experts": bank}}
+    logger = Logger(log_dir=str(tmp_path), run_name="ws", log_interval=1)
+    logger.log_weight_statistics(0, params)       # 0 % 50 == 0 -> logs
+    logger.log_weight_statistics(7, params)       # 7 % 50 != 0 -> skipped
+    rows = [json.loads(l) for l in open(tmp_path / "ws_weights.jsonl")]
+    assert len(rows) == 1
+
+    flat = np.concatenate([
+        np.asarray(bank["w1"]["mpw"]).ravel(), np.asarray(bank["w2"]["mpw"]).ravel()])
+    row = rows[0]
+    np.testing.assert_allclose(row["Unet_experts_weight_mean"], flat.mean(), atol=2e-6)
+    np.testing.assert_allclose(row["Unet_experts_weight_std"], flat.std(), atol=2e-5)
+    np.testing.assert_allclose(row["Unet_experts_weight_max"], flat.max(), atol=1e-6)
+    np.testing.assert_allclose(row["Unet_experts_weight_min"], flat.min(), atol=1e-6)

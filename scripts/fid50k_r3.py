@@ -87,23 +87,31 @@ def main():
         vae_kind="fake", text_kind="fake",
     )
 
-    # ---- real-side stats: ONCE over 50k ---------------------------------
+    # ---- real-side stats: ONCE over 50k, cached to disk (the tunnel can
+    # wedge mid-run; recomputing ~45 min of real-side stats on restart is
+    # wasteful and the stream is deterministic: seed=0, fixed VAE) --------
+    stats_cache = f"artifacts/fid50k_real_stats_n{N}.npz"
     t0 = time.time()
+    if os.path.exists(stats_cache):
+        z = np.load(stats_cache)
+        mu_r, cov_r = z["mu"], z["cov"]
+        print(f"real-side stats loaded from {stats_cache}", flush=True)
+    else:
+        def real_features():
+            done = 0
+            for imgs in batch_iterator(ds, BATCH, seed=0):
+                rt = np.asarray(vae_engine.vae.decode(vae_engine.vae.encode(jnp.asarray(imgs))))
+                take = min(len(rt), N - done)
+                done += take
+                yield feature_fn(rt[:take])
+                if done % (BATCH * 64) < BATCH:
+                    print(f"  real {done}/{N}", flush=True)
+                if done >= N:
+                    return
 
-    def real_features():
-        done = 0
-        for imgs in batch_iterator(ds, BATCH, seed=0):
-            rt = np.asarray(vae_engine.vae.decode(vae_engine.vae.encode(jnp.asarray(imgs))))
-            take = min(len(rt), N - done)
-            done += take
-            yield feature_fn(rt[:take])
-            if done % (BATCH * 64) < BATCH:
-                print(f"  real {done}/{N}", flush=True)
-            if done >= N:
-                return
-
-    mu_r, cov_r = gaussian_stats(real_features())
-    print(f"real-side stats over {N} in {time.time()-t0:.0f}s", flush=True)
+        mu_r, cov_r = gaussian_stats(real_features())
+        np.savez(stats_cache, mu=mu_r, cov=cov_r)
+        print(f"real-side stats over {N} in {time.time()-t0:.0f}s", flush=True)
 
     results = {}
     if os.path.exists(OUT):

@@ -14,7 +14,13 @@ Reference anchor: the reference README lists post-hoc EMA as its open TODO
 (README.md:8); train/ema.py implements tracking, train_loop.py saves the
 EMA checkpoint to <save_dir>_ema.
 
-Usage: python scripts/longrun_r3_ema.py [steps] [n_fid]
+Usage: python scripts/longrun_r3_ema.py [steps] [n_fid] [ema_decay]
+
+The first run (decay 0.9999, artifacts/longrun_r3_ema) measured EMA FID
+2.61 vs raw 1.42: a 0.9999 decay has a 1/(1-d) = 10,000-step averaging
+horizon, so over a 2,800-step run the EMA is dominated by early-training
+weights. Pass a run-length-matched decay (e.g. 0.999 -> 1,000-step horizon)
+for the apples-to-apples quality datapoint (artifacts/longrun_r3_ema999).
 """
 
 import json
@@ -29,14 +35,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2800
 N_FID = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-OUTDIR = "artifacts/longrun_r3_ema"
+EMA_DECAY = float(sys.argv[3]) if len(sys.argv) > 3 else 0.9999
+OUTDIR = "artifacts/longrun_r3_ema" + (
+    "" if EMA_DECAY == 0.9999 else str(EMA_DECAY).split(".")[1])
 CKPT = os.path.abspath(f"{OUTDIR}/ckpt")
 BATCH = 32
 PROMPT = "a photo of a flower"
 
 
-def eval_weights(tag, cfg, params, ds):
-    """MSE-vs-sigma + FID@5k + sample grid for one weight set."""
+def eval_weights(tag, cfg, params, ds, outdir=None, n_fid=None):
+    """MSE-vs-sigma + FID@5k + sample grid for one weight set.
+
+    Shared with scripts/longrun_r3_fast10k.py (same methodology, different
+    run directory) via the ``outdir``/``n_fid`` overrides."""
+    outdir = outdir or OUTDIR
+    n_fid = n_fid or N_FID
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,10 +87,10 @@ def eval_weights(tag, cfg, params, ds):
         for imgs in batch_iterator(ds, BATCH, seed=0):
             yield np.asarray(engine.vae.decode(engine.vae.encode(jnp.asarray(imgs))))
 
-    fid = fid_evaluate(sample_fn, real_stream(), RandomConvFeatures(), n=N_FID, batch=BATCH)
+    fid = fid_evaluate(sample_fn, real_stream(), RandomConvFeatures(), n=n_fid, batch=BATCH)
     grid = engine.sample([PROMPT] * 16, seed=3)
-    save_image_grid(grid, os.path.join(OUTDIR, f"samples_{tag}.png"))
-    return {"mse_vs_sigma": mses, "fid": round(float(fid), 4), "n": N_FID,
+    save_image_grid(grid, os.path.join(outdir, f"samples_{tag}.png"))
+    return {"mse_vs_sigma": mses, "fid": round(float(fid), 4), "n": n_fid,
             "tower": "random-conv", "real_roundtrip": True}
 
 
@@ -101,7 +114,7 @@ def main():
     # FID stream are directly comparable to artifacts/longrun_canonical
     run = replace(run, dataset="synthetic", save_dir=CKPT, save_interval=STEPS,
                   total_steps=STEPS, log_dir=f"{OUTDIR}/logs",
-                  telemetry_every=10, ema_decay=0.9999)
+                  telemetry_every=10, ema_decay=EMA_DECAY)
 
     t0 = time.time()
     final = training_hdmoe(model, optim, loss, mask, zeta_configs, run)

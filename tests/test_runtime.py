@@ -84,11 +84,14 @@ def test_device_flowers_batch_matches_host_family():
 
     res, b = 32, 64
     key = jax.random.PRNGKey(0)
-    dev = np.asarray(jax.jit(lambda k: device_flowers_batch(k, b, res))(key))
+    gen = jax.jit(lambda k: device_flowers_batch(k, b, res))
+    dev = np.asarray(gen(key))
     assert dev.shape == (b, res, res, 3) and dev.dtype == np.float32
     assert dev.min() >= 0.0 and dev.max() <= 255.0
-    np.testing.assert_array_equal(
-        dev, np.asarray(device_flowers_batch(key, b, res)))  # key-deterministic
+    np.testing.assert_array_equal(dev, np.asarray(gen(key)))  # key-deterministic
+    # jit vs eager agree up to fusion/reassociation fp drift only
+    np.testing.assert_allclose(
+        dev, np.asarray(device_flowers_batch(key, b, res)), atol=1e-2)
     assert not np.array_equal(dev[0], dev[1])  # batch-varied
 
     host = np.stack([make_dataset("synthetic", resolution=res, seed=0).get(i)

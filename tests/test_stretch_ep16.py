@@ -26,4 +26,5 @@ def test_stretch_ep16_subprocess():
         capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
-    assert "64-expert top-2 all-to-all EP" in proc.stdout
+    assert "64-expert HETEROGENEOUS" in proc.stdout
+    assert "top-2 all-to-all EP" in proc.stdout

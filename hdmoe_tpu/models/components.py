@@ -597,10 +597,19 @@ def vit_expert_apply(
         )
         stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *params["blocks"])
         micro_eff = micro if b % micro == 0 else math.gcd(b, micro)
+        # compose PP with DP: shard the microbatch batch dim over the data
+        # axis when present, so data rows don't redundantly recompute every
+        # microbatch (gpipe replicates x otherwise)
+        batch_ax = None
+        if "data" in mesh_.axis_names and mesh_.shape["data"] > 1 \
+                and (b // micro_eff) % mesh_.shape["data"] == 0:
+            batch_ax = "data"
+        # gpipe calls stage_fn(p, x) when aux is None and (p, x, aux)
+        # otherwise — accept both arities
         x = gpipe(
-            lambda p, xx, te: vit_block_apply(p, cfg.block_cfg, xx, time_embedding=te),
+            lambda p, xx, te=None: vit_block_apply(p, cfg.block_cfg, xx, time_embedding=te),
             stacked, x, mesh_, axis=axis_,
-            num_microbatches=micro_eff, aux=time_emb,
+            num_microbatches=micro_eff, aux=time_emb, batch_axis=batch_ax,
         )
     else:
         for block in params["blocks"]:

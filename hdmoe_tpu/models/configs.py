@@ -103,6 +103,11 @@ class HDMOEMConfig:
     expert_sharing: str = "heterogeneous"
 
     def __post_init__(self):
+        assert self.capacity_policy in ("fcfs", "priority"), (
+            f"capacity_policy must be 'fcfs' or 'priority', got "
+            f"{self.capacity_policy!r} (a typo would silently fall back to "
+            f"FCFS drops and reopen the capacity FID cliff)"
+        )
         if self.expert_sharing == "stacked":
             assert len(set(self.unet_kernel_sizes)) == 1, (
                 "stacked expert banks need identical U-Net kernel sizes "

@@ -60,11 +60,18 @@ class Logger:
     """Four JSONL streams, interval-averaged like the reference
     (graphs/logger.py:36-67, 328-345)."""
 
-    def __init__(self, log_dir: str = "./training_logs", run_name: str = "experiment", log_interval: int = 10):
+    def __init__(self, log_dir: str = "./training_logs", run_name: str = "experiment",
+                 log_interval: int = 10, step_stride: int = 1):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.run_name = run_name
         self.log_interval = log_interval
+        # With the device-side multi-step loop (train_loop steps_per_call=K)
+        # the logger only sees steps 0, K, 2K, ...; exact `% interval == 0`
+        # gates would skip or stretch every stream whenever K doesn't divide
+        # the interval. A gate fires when its window [n*interval,
+        # n*interval+stride) contains the observed step.
+        self.step_stride = max(1, int(step_stride))
         self.main_log_file = self.log_dir / f"{run_name}_training.jsonl"
         self.router_log_file = self.log_dir / f"{run_name}_router_stats.jsonl"
         self.gradient_log_file = self.log_dir / f"{run_name}_gradients.jsonl"
@@ -95,7 +102,7 @@ class Logger:
             log_sigma = math.log(max(_to_float(metrics["sigma_mean"]), 1e-12))
             pct = 0.5 * (1.0 + math.erf((log_sigma - p_mean) / (p_std * math.sqrt(2.0))))
             self._acc["avg_sigma_percentile"].append(pct)
-        if step % self.log_interval == 0 and self._acc["step"]:
+        if step % self.log_interval < self.step_stride and self._acc["step"]:
             self._flush_training()
 
     # -- router stream -------------------------------------------------------
@@ -109,7 +116,7 @@ class Logger:
         p_mean: float,
         p_std: float,
     ) -> None:
-        if step % self.log_interval != 0:
+        if step % self.log_interval >= self.step_stride:
             return
         unet = np.asarray(unet_probs)
         vit = np.asarray(vit_probs)
@@ -165,7 +172,7 @@ class Logger:
         """Write per-component grad norms computed inside the jitted step
         (train_step._component_grad_norms), keeping the reference's record
         shape ``{name}_grad_norm``."""
-        if step % self.log_interval != 0:
+        if step % self.log_interval >= self.step_stride:
             return
         record = {"step": int(step)}
         for k, v in metrics.items():
@@ -185,13 +192,15 @@ class Logger:
         ``np.asarray`` pass fetched the whole param tree and ran float64
         numpy over it — measured as discrete multi-second training stalls on
         the tunnel-attached chip (PERF.md round-3 feed findings)."""
-        if step % (self.log_interval * 50) != 0:
+        if step % (self.log_interval * 50) >= self.step_stride:
             return
         net = params.get("net", params)
         record = {"step": int(step)}
         stats_by_key = {}
         for key in ("unet_experts", "vit_experts"):
-            if key in net:
+            # the >=2-D check is host-side pytree metadata — no transfer
+            if key in net and any(
+                    getattr(l, "ndim", 0) > 1 for l in jax.tree_util.tree_leaves(net[key])):
                 stats_by_key[key] = _bank_weight_stats(net[key])
         # one blocking transfer for all scalars (not one sync per stat)
         stats_by_key = jax.device_get(stats_by_key)
@@ -199,7 +208,7 @@ class Logger:
             if key not in net:
                 continue
             st = stats_by_key.get(key)
-            if st is None:
+            if st is None:  # bank exists but has no >=2-D leaves
                 record[f"{log_name}_weight_mean"] = None
                 continue
             record[f"{log_name}_weight_mean"] = round(float(st["mean"]), 6)

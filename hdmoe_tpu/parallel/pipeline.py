@@ -51,7 +51,7 @@ def current_pipeline_context():
     return _PP_CTX[-1] if _PP_CTX else None
 
 
-def _pipeline_local(stage_params, x_micro, aux_micro, *, stage_fn, axis_name: str, num_stages: int, num_micro: int, has_aux: bool):
+def _pipeline_local(stage_params, x_micro, aux_micro, *, stage_fn, axis_name: str, num_stages: int, num_micro: int, has_aux: bool, varying_axes: tuple = ()):
     """Per-device pipeline body (inside shard_map).
 
     stage_params: this device's stage (leading stage axis stripped to 1).
@@ -64,8 +64,11 @@ def _pipeline_local(stage_params, x_micro, aux_micro, *, stage_fn, axis_name: st
     buf = jnp.zeros(rest, dtype=x_micro.dtype)  # activation arriving from the left
     outs = jnp.zeros_like(x_micro)
     # carries become device-varying inside the loop (ppermute/stage compute);
-    # mark the initial values as varying over the pipeline axis too
-    buf = jax.lax.pcast(buf, (axis_name,), to="varying")
+    # mark the initial values as varying over the pipeline axis too — and
+    # over the batch axis when the microbatches are data-sharded (the
+    # injected x is varying there, so the where() mixing them must agree)
+    buf = jax.lax.pcast(buf, (axis_name,) + varying_axes, to="varying")
+    # outs derives from x_micro and is already varying over the batch axis
     outs = jax.lax.pcast(outs, (axis_name,), to="varying")
 
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
@@ -120,6 +123,7 @@ def gpipe(
     axis: str = "model",
     num_microbatches: int = 4,
     aux: Optional[jnp.ndarray] = None,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Run ``x`` through S pipelined stages sharded over ``mesh[axis]``.
 
@@ -129,20 +133,34 @@ def gpipe(
     input, e.g. a conditioning embedding), the stage signature becomes
     ``stage_fn(params_s, x, aux_microbatch)`` — aux is microbatched in
     lockstep with ``x`` and indexed locally on every stage.
+
+    ``batch_axis`` composes PP with DP: the per-microbatch batch dim is
+    sharded over that mesh axis, so every data row pipelines only its own
+    batch shard (the schedule uses only ``axis``-collectives, so rows are
+    independent). Without it x is replicated over the whole mesh — on a
+    (data>1, pipe) mesh every data row would redundantly compute ALL
+    microbatches.
     """
     s = mesh.shape[axis]
     lead = jax.tree_util.tree_leaves(stacked_stage_params)[0].shape[0]
     assert lead == s, f"stage count {lead} != mesh axis size {s}"
     b = x.shape[0]
     assert b % num_microbatches == 0
-    x_micro = x.reshape(num_microbatches, b // num_microbatches, *x.shape[1:])
+    micro_b = b // num_microbatches
+    if batch_axis is not None:
+        assert batch_axis in mesh.axis_names and batch_axis != axis
+        assert micro_b % mesh.shape[batch_axis] == 0, (
+            f"microbatch size {micro_b} must divide over mesh['{batch_axis}']"
+            f"={mesh.shape[batch_axis]}")
+    x_micro = x.reshape(num_microbatches, micro_b, *x.shape[1:])
     has_aux = aux is not None
     aux_micro = (
-        aux.reshape(num_microbatches, b // num_microbatches, *aux.shape[1:])
+        aux.reshape(num_microbatches, micro_b, *aux.shape[1:])
         if has_aux
         else jnp.zeros((num_microbatches, 1), x.dtype)
     )
 
+    data_spec = P(None, batch_axis) if batch_axis is not None else P()
     param_specs = jax.tree_util.tree_map(lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_stage_params)
     fn = shard_map(
         partial(
@@ -152,10 +170,13 @@ def gpipe(
             num_stages=s,
             num_micro=num_microbatches,
             has_aux=has_aux,
+            varying_axes=(batch_axis,) if batch_axis is not None else (),
         ),
         mesh=mesh,
-        in_specs=(param_specs, P(), P()),  # inputs replicated; device 0 feeds
-        out_specs=P(),
+        # x/aux: batch-sharded over batch_axis (or replicated); pipe-stage 0
+        # of every data row feeds its own shard
+        in_specs=(param_specs, data_spec, data_spec if has_aux else P()),
+        out_specs=data_spec,
     )
     outs = fn(stacked_stage_params, x_micro, aux_micro)
     return outs.reshape(b, *x.shape[1:])

@@ -117,23 +117,13 @@ def make_sharded_train_devicegen(train_step, latents_fn, text_emb, mesh: Mesh, k
     produces exactly its own batch shard and the feed path involves NO host
     IO and NO collectives at any mesh size.
     """
-    from jax import lax
+    from hdmoe_tpu.train.train_step import make_train_devicegen
 
-    def wrapped(state, key):
-        keys = jax.random.split(key, k)
+    def constrain(lat, te):
+        lat = jax.lax.with_sharding_constraint(lat, batch_sharding(mesh, lat.ndim))
+        if te is not None:
+            te = jax.lax.with_sharding_constraint(te, batch_sharding(mesh, te.ndim))
+        return lat, te
 
-        def body(st, kk):
-            k_lat, k_step = jax.random.split(kk)
-            lat = jax.lax.with_sharding_constraint(latents_fn(k_lat), batch_sharding(mesh, 4))
-            te = text_emb
-            if te is not None:
-                te = jax.lax.with_sharding_constraint(te, batch_sharding(mesh, te.ndim))
-            st, metrics, aux = train_step(st, lat, te, k_step)
-            return st, (metrics, aux)
-
-        state, (metrics_k, aux_k) = lax.scan(body, state, keys)
-        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
-        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
-        return state, metrics, aux
-
+    wrapped = make_train_devicegen(train_step, latents_fn, text_emb, k, constrain=constrain)
     return jax.jit(wrapped, donate_argnums=(0,))

@@ -203,7 +203,11 @@ def training_hdmoe(
 
         jit_step = jax.jit(make_train_multistep(step_fn, k_call), donate_argnums=0)
 
-    logger = Logger(log_dir=run.log_dir, run_name=run.run_name, log_interval=run.log_interval)
+    logger = Logger(log_dir=run.log_dir, run_name=run.run_name, log_interval=run.log_interval,
+                    # the loop visits steps in strides of K; window-gate the
+                    # logger's own `% interval` checks the same way the
+                    # fetch/print/save gates below use `< k_call`
+                    step_stride=max(1, run.steps_per_call))
     timer = StepTimer()
     ema = None
     if run.ema_decay > 0.0:

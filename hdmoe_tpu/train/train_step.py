@@ -146,6 +146,18 @@ def make_train_step(
     return train_step
 
 
+def _scan_k_steps(body, state, keys):
+    """lax.scan ``body`` over per-step keys; return (state, last-step
+    metrics, last-step aux) — the shared telemetry contract of every
+    multi-step wrapper (host logging samples at >= K-step granularity)."""
+    from jax import lax
+
+    state, (metrics_k, aux_k) = lax.scan(body, state, keys)
+    metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
+    aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
+    return state, metrics, aux
+
+
 def make_train_multistep(train_step, k: int):
     """Device-side multi-step loop: ``lax.scan`` over K optimizer steps.
 
@@ -163,8 +175,6 @@ def make_train_multistep(train_step, k: int):
     the text embedding is the fixed-prompt embedding shared by every step
     (train_loop computes it once).
     """
-    from jax import lax
-
     def multi(state, latents_k, text_emb, key):
         keys = jax.random.split(key, k)
 
@@ -173,15 +183,12 @@ def make_train_multistep(train_step, k: int):
             st, metrics, aux = train_step(st, lat, text_emb, kk)
             return st, (metrics, aux)
 
-        state, (metrics_k, aux_k) = lax.scan(body, state, (latents_k, keys))
-        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
-        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
-        return state, metrics, aux
+        return _scan_k_steps(body, state, (latents_k, keys))
 
     return multi
 
 
-def make_train_devicegen(train_step, latents_fn, text_emb, k: int):
+def make_train_devicegen(train_step, latents_fn, text_emb, k: int, constrain=None):
     """K optimizer steps per dispatch with ON-DEVICE data generation.
 
     The terminal form of the round-3 feed finding (artifacts/
@@ -194,21 +201,22 @@ def make_train_devicegen(train_step, latents_fn, text_emb, k: int):
 
     ``devicegen(state, key)`` — metrics/aux are the LAST step's, as in
     ``make_train_multistep``. ``text_emb`` (the fixed-prompt embedding) is
-    closed over as a trace constant.
+    closed over as a trace constant. ``constrain(lat, te) -> (lat, te)``
+    (optional) lets the mesh wrapper (parallel/sharding.py) attach
+    ``with_sharding_constraint`` without duplicating the scan body.
     """
-    from jax import lax
 
     def devicegen(state, key):
         keys = jax.random.split(key, k)
 
         def body(st, kk):
             k_lat, k_step = jax.random.split(kk)
-            st, metrics, aux = train_step(st, latents_fn(k_lat), text_emb, k_step)
+            lat, te = latents_fn(k_lat), text_emb
+            if constrain is not None:
+                lat, te = constrain(lat, te)
+            st, metrics, aux = train_step(st, lat, te, k_step)
             return st, (metrics, aux)
 
-        state, (metrics_k, aux_k) = lax.scan(body, state, keys)
-        metrics = jax.tree_util.tree_map(lambda a: a[-1], metrics_k)
-        aux = jax.tree_util.tree_map(lambda a: a[-1], aux_k)
-        return state, metrics, aux
+        return _scan_k_steps(body, state, keys)
 
     return devicegen

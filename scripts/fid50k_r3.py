@@ -127,21 +127,36 @@ def main():
             cfg, params, batch=BATCH, num_steps=NUM_STEPS, vae_kind="fake", text_kind="fake"))
         print(f"[{name}] engine ready in {time.time()-t0:.0f}s", flush=True)
 
-        counter = iter(range(1 << 62))
-
-        def gen_features():
-            done = 0
-            while done < N:
-                imgs = np.asarray(engine.sample([PROMPT] * BATCH, seed=1000 + next(counter)))
-                take = min(len(imgs), N - done)
-                done += take
-                yield feature_fn(imgs[:take])
-                if done % (BATCH * 64) < BATCH:
-                    print(f"  [{name}] gen {done}/{N}", flush=True)
-
+        # Resumable gen-side moments: the gen stream is deterministic in the
+        # batch index (seed=1000+i), so partial (n, sum, x^T x) checkpoints
+        # let a wedged-tunnel restart continue mid-variant.
+        part_file = f"artifacts/fid50k_gen_partial_{name}_n{N}.npz"
         t0 = time.time()
-        mu_g, cov_g = gaussian_stats(gen_features())
+        if os.path.exists(part_file):
+            z = np.load(part_file)
+            n_done, s, ss = int(z["n"]), z["s"], z["ss"]
+            print(f"  [{name}] resuming gen at {n_done}/{N}", flush=True)
+        else:
+            n_done, s, ss = 0, None, None  # lazily sized from the first batch
+        i_batch = n_done // BATCH
+        while n_done < N:
+            imgs = np.asarray(engine.sample([PROMPT] * BATCH, seed=1000 + i_batch))
+            i_batch += 1
+            take = min(len(imgs), N - n_done)
+            f = np.asarray(feature_fn(imgs[:take]), dtype=np.float64).reshape(take, -1)
+            n_done += take
+            if s is None:
+                s, ss = np.zeros(f.shape[1]), np.zeros((f.shape[1], f.shape[1]))
+            s = s + f.sum(axis=0)
+            ss = ss + f.T @ f
+            if i_batch % 64 == 0:
+                np.savez(part_file, n=n_done, s=s, ss=ss)
+                print(f"  [{name}] gen {n_done}/{N}", flush=True)
+        mu_g = s / n_done
+        cov_g = (ss - n_done * np.outer(mu_g, mu_g)) / (n_done - 1)
         fid = frechet_distance(mu_r, cov_r, mu_g, cov_g)
+        if os.path.exists(part_file):
+            os.remove(part_file)
         results[name] = {
             "fid": round(float(fid), 4),
             "n": N,

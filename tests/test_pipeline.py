@@ -146,3 +146,43 @@ def test_gpipe_stage_count_mismatch_raises():
     w = jnp.ones((3, 1))
     with pytest.raises(AssertionError):
         gpipe(lambda p, x_: x_, w, jnp.ones((4, 2)), mesh, axis="model", num_microbatches=2)
+
+
+def test_gpipe_batch_axis_composes_dp():
+    """batch_axis shards the microbatch batch dim over the data axis: same
+    numbers as the replicated form, batch-sharded output sharding, and
+    grads still match the sequential loop (PP x DP composition)."""
+    n_stages, micro, b, f = 2, 2, 8, 16
+    mesh = make_mesh(MeshConfig(data=4, model=n_stages, expert=1),
+                     devices=jax.devices()[:8])
+    w = jax.random.normal(jax.random.PRNGKey(2), (n_stages, f, f)) / np.sqrt(f)
+    x = jax.random.normal(KEY, (b, f))
+    aux = jax.random.normal(jax.random.PRNGKey(3), (b, f))
+
+    def stage_fn(p, x_, a_):
+        return jnp.tanh(x_ @ p) + 0.1 * a_
+
+    def run(batch_axis):
+        def loss(w_, x_):
+            out = gpipe(stage_fn, w_, x_, mesh, axis="model",
+                        num_microbatches=micro, aux=aux, batch_axis=batch_axis)
+            return jnp.sum(out ** 2), out
+        (l, out), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(w, x)
+        return l, out, g
+
+    l_rep, out_rep, g_rep = run(None)
+    l_dp, out_dp, g_dp = run("data")
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_rep), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l_dp), float(l_rep), rtol=1e-5)
+    # grads: psum-of-shards reassociation drift only
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_rep), rtol=5e-4, atol=5e-6)
+
+    # sequential oracle
+    def seq(w_, x_):
+        y = x_
+        for i in range(n_stages):
+            y = stage_fn(w_[i], y, aux)
+        return jnp.sum(y ** 2)
+
+    g_seq = jax.grad(seq)(w, x)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_seq), rtol=5e-4, atol=5e-6)

@@ -56,11 +56,13 @@ def measure(cfg, params, batch):
     with mp_ops.prenormalized_weights():
         sample = jax.jit(lambda n: edm_sample(den, n, text, scfg)).lower(noise).compile()
     compile_s = time.time() - t0
-    jax.block_until_ready(sample(noise))
+    # value fetch, not block_until_ready: the latter can return before the
+    # tunnel queue drains (PERF.md round-3 timing-barrier caveat)
+    float(sample(noise)[0, 0, 0, 0])
     walls = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(sample(noise))
+        float(sample(noise)[0, 0, 0, 0])
         walls.append(time.time() - t0)
     wall = sorted(walls)[1]
     return {
@@ -94,7 +96,10 @@ def main():
         "F_grouped_b64": (replace(fast, dispatch="grouped"), 64),
     }
     results = {}
+    only = os.environ.get("PERF_ONLY", "")
     for name, (cfg, batch) in variants.items():
+        if only and name not in only.split(","):
+            continue
         try:
             results[name] = measure(cfg, folded, batch)
             print(f"[{name}] {results[name]}", flush=True)

@@ -56,14 +56,14 @@ def main():
     # warm up (compile)
     t0 = time.time()
     state, m, _ = step_fn(state, latents, text, jax.random.PRNGKey(3))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value fetch (PERF.md timing-barrier caveat)
     print(f"compile+first step {time.time()-t0:.1f}s", flush=True)
 
     # warm wall
     t0 = time.time()
     for i in range(N_STEPS):
         state, m, _ = step_fn(state, latents, text, jax.random.fold_in(jax.random.PRNGKey(4), i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value fetch
     wall = (time.time() - t0) / N_STEPS
     print(f"train step wall {wall*1e3:.2f} ms -> {BATCH/wall:.1f} img/s compute-only", flush=True)
 
@@ -84,7 +84,7 @@ def main():
     jax.profiler.start_trace(os.path.join(OUTDIR, "trace"))
     for i in range(N_STEPS):
         state, m, _ = step_fn(state, latents, text, jax.random.fold_in(jax.random.PRNGKey(6), i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     jax.profiler.stop_trace()
     print("trace captured", flush=True)
 

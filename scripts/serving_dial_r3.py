@@ -90,12 +90,12 @@ def main():
         noise = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.img_resolution, cfg.img_resolution, cfg.in_channels))
         text = engine.clip.encode_text([PROMPT] * BATCH)
         k = jax.random.PRNGKey(2)
-        out = engine._sample(noise, text, k)
-        jax.block_until_ready(out)
+        # value fetch, not block_until_ready (PERF.md timing-barrier caveat)
+        float(engine._sample(noise, text, k)[0, 0, 0, 0])
         walls = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(engine._sample(noise, text, k))
+            float(engine._sample(noise, text, k)[0, 0, 0, 0])
             walls.append(time.time() - t0)
         wall = sorted(walls)[1]
         ips = BATCH / wall

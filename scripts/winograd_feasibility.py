@@ -60,24 +60,27 @@ def scan_time(fn, *args):
 
         return jax.jit(run)
 
+    def barrier(o):  # value fetch (PERF.md timing-barrier caveat)
+        import numpy as _np
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        _np.asarray(leaf).ravel()[:1]
+
     f = chain(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+    barrier(f(*args))
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        barrier(f(*args))
         walls.append(time.perf_counter() - t0)
     full = sorted(walls)[1]
 
     # near-empty scan baseline with the same carry structure
     b = chain(lambda *xs: tuple(x + 0 for x in xs))
-    outb = b(*args)
-    jax.block_until_ready(outb)
+    barrier(b(*args))
     walls_b = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(b(*args))
+        barrier(b(*args))
         walls_b.append(time.perf_counter() - t0)
     base = sorted(walls_b)[1]
     return max(full - base, 0.0) / ITERS

@@ -66,6 +66,11 @@ class RunConfig:
     mesh: Optional[MeshConfig] = None  # None => single device
     print_interval: int = 100
     ema_decay: float = 0.0  # 0 disables EMA; e.g. 0.9999 enables
+    # Post-hoc EMA (Karras/EDM2; the reference's open TODO): snapshot the
+    # two tracked power-profile averages every N steps; training ends by
+    # writing <save_dir>_posthoc.npz, from which train.ema.posthoc_ema
+    # synthesizes the EMA of ANY averaging length. 0 disables.
+    ema_posthoc_every: int = 0
     # Fetch telemetry from device every N steps (1 = reference-faithful
     # per-step accumulation; log_interval-aligned values avoid the per-step
     # device->host roundtrip that dominates small-model training throughput).
@@ -214,6 +219,11 @@ def training_hdmoe(
         from hdmoe_tpu.train.ema import EmaTracker
 
         ema = EmaTracker(state.params, decay=run.ema_decay)
+    power_ema = None
+    if run.ema_posthoc_every > 0:
+        from hdmoe_tpu.train.ema import PowerEmaTracker
+
+        power_ema = PowerEmaTracker(state.params)
     configs_blob = {
         "model_configs": model_cfg, "Optim_config": optim_cfg,
         "loss_config": loss_cfg, "mask_config": mask_cfg, "zeta_config": zeta_cfg,
@@ -255,6 +265,11 @@ def training_hdmoe(
             state, metrics, aux = jit_step(state, latents, text_emb, k_step)
         if ema is not None:
             ema.update(state.params, step, steps_elapsed=k_call)
+        if power_ema is not None:
+            power_ema.update(state.params, step, steps_elapsed=k_call)
+            if (step > 0 and step % run.ema_posthoc_every < k_call) \
+                    or step + k_call >= run.total_steps:
+                power_ema.snapshot(step)
         timer.tick()
 
         fetch = (run.telemetry_every <= k_call or step % run.telemetry_every < k_call
@@ -292,5 +307,9 @@ def training_hdmoe(
         ema_ckpt = CheckpointManager(str(run.save_dir) + "_ema")
         ema_ckpt.save(state._replace(params=ema.ema_params), key, mse=current_mse)
         ema_ckpt.close()
+    if power_ema is not None and power_ema.snapshots:
+        from hdmoe_tpu.train.ema import save_power_snapshots
+
+        save_power_snapshots(str(run.save_dir) + "_posthoc.npz", power_ema.snapshots)
     print("Training Complete.")
     return {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}

@@ -90,3 +90,74 @@ def test_bfloat16_forward_close_to_f32():
     # bf16 activations: close but not identical
     np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=0.1, rtol=0.25)
     assert not np.array_equal(np.asarray(bf16), np.asarray(f32))
+
+
+# ---- post-hoc EMA (Karras/EDM2; reference README TODO 8) -------------------
+
+
+def test_sigma_rel_to_gamma_paper_values():
+    from hdmoe_tpu.train.ema import sigma_rel_to_gamma
+
+    np.testing.assert_allclose(sigma_rel_to_gamma(0.05), 16.97, atol=0.01)
+    np.testing.assert_allclose(sigma_rel_to_gamma(0.10), 6.94, atol=0.01)
+    # the conversion inverts the profile's analytic relative-std formula
+    for g in (5.0, 10.0, 20.0):
+        sr = np.sqrt((g + 1) / ((g + 2) ** 2 * (g + 3)))
+        np.testing.assert_allclose(sigma_rel_to_gamma(sr), g, rtol=1e-6)
+
+
+def test_power_ema_profile_shape():
+    """The tracked average weights step t proportionally to ~t^gamma: a
+    linear-ramp trajectory's power EMA lands at the profile's analytic
+    mean E[t]/T = (gamma+1)/(gamma+2)."""
+    from hdmoe_tpu.train.ema import PowerEmaTracker
+
+    T, g = 512, 9.0
+    tr = PowerEmaTracker({"w": np.float64(0.0)}, gammas=(g,))
+    for step in range(T):
+        tr.update({"w": np.float64((step + 1) / T)}, step)
+    got = float(np.asarray(tr.emas[g]["w"]))
+    np.testing.assert_allclose(got, (g + 1) / (g + 2), rtol=2e-2)
+
+
+def test_posthoc_ema_reconstructs_untracked_profile():
+    """Snapshots of two tracked profiles (sigma_rel 0.05/0.10) synthesize a
+    NEVER-TRACKED third profile (0.075) to ~1e-4 relative — the point of
+    post-hoc EMA: pick the averaging length after training."""
+    from hdmoe_tpu.train.ema import PowerEmaTracker, posthoc_ema, sigma_rel_to_gamma
+
+    T = 1024
+    rng = np.random.default_rng(0)
+    traj = np.cumsum(rng.normal(size=T))
+    tracked = PowerEmaTracker({"w": np.float64(0.0), "b": np.float64(1.0)},
+                              gammas=(16.97, 6.94))
+    g_target = sigma_rel_to_gamma(0.075)
+    oracle = PowerEmaTracker({"w": np.float64(0.0), "b": np.float64(1.0)},
+                             gammas=(g_target,))
+    for step in range(T):
+        p = {"w": np.float64(traj[step]), "b": np.float64(2.0 * traj[step] + 1.0)}
+        tracked.update(p, step)
+        oracle.update(p, step)
+        if (step + 1) % 64 == 0:
+            tracked.snapshot(step)
+    rec = posthoc_ema(tracked.snapshots, T, sigma_rel=0.075)
+    scale = np.abs(traj).mean()
+    for k in ("w", "b"):
+        want = float(np.asarray(oracle.emas[g_target][k]))
+        assert abs(float(rec[k]) - want) / scale < 1e-3, (k, float(rec[k]), want)
+
+
+def test_posthoc_ema_exact_on_spanned_profile():
+    """A target that IS one of the snapshot profiles at its snapshot time
+    reconstructs to machine precision (the lsq solution is x = e_i)."""
+    from hdmoe_tpu.train.ema import PowerEmaTracker, posthoc_ema
+
+    T = 256
+    rng = np.random.default_rng(1)
+    tr = PowerEmaTracker({"w": np.float64(0.0)}, gammas=(16.97, 6.94))
+    for step in range(T):
+        tr.update({"w": np.float64(rng.normal())}, step)
+    tr.snapshot(T - 1)
+    rec = posthoc_ema(tr.snapshots, T, gamma=6.94)
+    want = float(np.asarray(tr.emas[6.94]["w"]))
+    np.testing.assert_allclose(float(rec["w"]), want, rtol=1e-9)

@@ -218,3 +218,50 @@ def test_training_loop_steps_per_call(tmp_path):
     )
     final = training_hdmoe(cfg, optim_cfg, loss_cfg, mask_cfg, zeta_cfg, run)
     assert np.isfinite(final["loss"])
+
+
+def test_training_loop_posthoc_ema_snapshots(tmp_path):
+    """ema_posthoc_every writes <save_dir>_posthoc.npz; the snapshots
+    round-trip through save/load and posthoc_ema synthesizes a weight tree
+    with the model's structure (Karras post-hoc EMA, reference TODO 8)."""
+    import os
+
+    from hdmoe_tpu.train.ema import load_power_snapshots, posthoc_ema
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    loss_cfg = EDMLossConfig(num_experts=cfg.num_experts)
+    optim_cfg = OptimConfig(total_schedule_steps=8)
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    zeta_cfg = {"total_schedule_steps": 8, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="posthoc", batch_size=4, total_steps=8, save_interval=0,
+        data_img_res=64, dataset="synthetic", vae="fake",
+        text_encoder="fake", ema_posthoc_every=4,
+    )
+    training_hdmoe(cfg, optim_cfg, loss_cfg, mask_cfg, zeta_cfg, run)
+    npz = str(tmp_path / "ckpt") + "_posthoc.npz"
+    assert os.path.exists(npz)
+
+    from hdmoe_tpu.models import precond_init
+
+    params_like = precond_init(jax.random.PRNGKey(0), cfg)
+    snaps = load_power_snapshots(npz, params_like)
+    # 2 gammas x snapshot times {4, final(7)}
+    assert len(snaps) == 4
+    assert {g for g, _, _ in snaps} == {16.97, 6.94}
+    rec = posthoc_ema(snaps, 8, sigma_rel=0.075)
+    ref_leaves = jax.tree_util.tree_leaves(params_like)
+    rec_leaves = jax.tree_util.tree_leaves(rec)
+    assert len(ref_leaves) == len(rec_leaves)
+    for a, b in zip(ref_leaves, rec_leaves):
+        assert a.shape == np.asarray(b).shape
+        assert np.all(np.isfinite(np.asarray(b)))

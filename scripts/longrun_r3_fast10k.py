@@ -49,7 +49,10 @@ def main():
     run = replace(run, dataset="synthetic-device", steps_per_call=8,
                   telemetry_every=50, save_dir=CKPT, save_interval=STEPS,
                   total_steps=STEPS, log_dir=f"{OUTDIR}/logs",
-                  run_name="fast10k", ema_decay=0.9995)
+                  run_name="fast10k", ema_decay=0.9995,
+                  # post-hoc EMA snapshots: sweep averaging lengths AFTER
+                  # training (train/ema.py posthoc_ema)
+                  ema_posthoc_every=500)
 
     t0 = time.time()
     final = training_hdmoe(model, optim, loss, mask, zeta_configs, run)
@@ -81,6 +84,27 @@ def main():
                "final": {k: float(v) for k, v in final.items()}}
     for tag, ckpt_dir in (("raw", CKPT), ("ema", CKPT + "_ema")):
         results[tag] = eval_weights(tag, model, load(ckpt_dir), ds, outdir=OUTDIR, n_fid=N_FID)
+        print(f"[{tag}] {results[tag]}", flush=True)
+        with open(f"{OUTDIR}/RESULTS.json", "w") as f:
+            json.dump(results, f, indent=1)
+
+    # post-hoc EMA sweep: synthesize three averaging lengths from the
+    # snapshots and score each (the whole point: pick sigma_rel AFTER
+    # training; reference TODO 8)
+    import numpy as np
+
+    from hdmoe_tpu.train.ema import load_power_snapshots, posthoc_ema
+
+    snaps = load_power_snapshots(CKPT + "_posthoc.npz",
+                                 jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0)))
+    for sr in (0.05, 0.10, 0.15):
+        import jax.numpy as jnp
+
+        tree = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float32),
+            posthoc_ema(snaps, STEPS, sigma_rel=sr))
+        tag = f"posthoc_sr{sr:g}"
+        results[tag] = eval_weights(tag, model, tree, ds, outdir=OUTDIR, n_fid=N_FID)
         print(f"[{tag}] {results[tag]}", flush=True)
         with open(f"{OUTDIR}/RESULTS.json", "w") as f:
             json.dump(results, f, indent=1)

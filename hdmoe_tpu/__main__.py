@@ -92,6 +92,41 @@ def _cmd_smoke(args):
     smoke_main(args.steps)
 
 
+def _cmd_posthoc_ema(args):
+    """Synthesize a post-hoc EMA checkpoint from power-profile snapshots
+    (train with ``--ema-posthoc-every`` / RunConfig.ema_posthoc_every to
+    produce <save_dir>_posthoc.npz)."""
+    import jax
+
+    from hdmoe_tpu.models import precond_init
+    from hdmoe_tpu.train import presets
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.ema import load_power_snapshots, posthoc_ema
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    import os
+
+    if not os.path.exists(args.snapshots):
+        sys.exit(f"snapshots file not found: {args.snapshots}")
+    builder = presets.PRESETS.get(args.preset)
+    if builder is None:
+        sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+    model = builder()[0]
+    params0 = jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0))
+    snaps = load_power_snapshots(args.snapshots, params0)
+    t_target = args.t if args.t else max(t for _, t, _ in snaps)
+    tree = posthoc_ema(snaps, t_target, sigma_rel=args.sigma_rel)
+    import jax.numpy as jnp
+
+    tree = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    cm = CheckpointManager(args.out)
+    cm.save(init_train_state(tree, OptimConfig())._replace(step=jnp.asarray(int(t_target))),
+            jax.random.PRNGKey(0), mse=float("nan"))
+    cm.close()
+    print(f"wrote sigma_rel={args.sigma_rel} t={t_target:g} post-hoc EMA checkpoint to {args.out}")
+
+
 def _cmd_fid(args):
     import json
 
@@ -210,6 +245,14 @@ def main(argv=None):
     p_fid.add_argument("--prompt", default="a photo of a flower")
     p_fid.add_argument("--seed", type=int, default=0)
     p_fid.set_defaults(fn=_cmd_fid)
+
+    p_ph = sub.add_parser("posthoc-ema", help="synthesize an EMA checkpoint of any averaging length from power-profile snapshots")
+    p_ph.add_argument("--preset", default="latent_256_clip")
+    p_ph.add_argument("--snapshots", required=True, help="<save_dir>_posthoc.npz from training")
+    p_ph.add_argument("--sigma-rel", type=float, default=0.10, dest="sigma_rel")
+    p_ph.add_argument("--t", type=float, default=0.0, help="target step (default: last snapshot time)")
+    p_ph.add_argument("--out", default="./checkpoints/posthoc_ema")
+    p_ph.set_defaults(fn=_cmd_posthoc_ema)
 
     p_serve = sub.add_parser("serve", help="HTTP sampling server (AOT engine + coalescing frontend)")
     p_serve.add_argument("--preset", default="", help="model preset (default: flagship config)")

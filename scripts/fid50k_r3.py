@@ -42,9 +42,16 @@ PROMPT = "a photo of a flower"
 
 def main():
     import jax
+
+    # REAL_STATS_ONLY runs need no TPU; pin to CPU via jax.config (the env
+    # vars alone do not stop the axon plugin from initializing — and a
+    # wedged tunnel blocks that init indefinitely; see tests/conftest.py)
+    if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
+    from hdmoe_tpu.adapters.vae import make_vae
     from hdmoe_tpu.models import precond_init
     from hdmoe_tpu.obs.fid import RandomConvFeatures
     from hdmoe_tpu.obs.metrics import frechet_distance, gaussian_stats
@@ -59,33 +66,14 @@ def main():
     base_model, *_ = presets.latent_256_clip(total_steps=2800)
     base_model = replace(base_model, skip_mode="canonical")
 
-    params0 = jax.jit(lambda k: precond_init(k, base_model))(jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(CKPT)
-    state, _, _ = ckpt.restore(init_train_state(params0, OptimConfig()), jax.random.PRNGKey(0))
-    params = state.params
-    ckpt.close()
-
     ds = make_dataset("synthetic", resolution=256, seed=0)
     feature_fn = RandomConvFeatures()
-
-    def fast(cfg_kw):
-        return replace(base_model, compute_dtype="bfloat16", use_flash=True, **cfg_kw)
-
-    variants = {
-        "bf16_flash_dense": fast({"dispatch": "dense"}),
-        "bf16_flash_cf2_priority": fast(
-            {"dispatch": "capacity", "capacity_factor": 2.0, "capacity_policy": "priority"}
-        ),
-        "bf16_flash_cf1_priority": fast(
-            {"dispatch": "capacity", "capacity_factor": 1.0, "capacity_policy": "priority"}
-        ),
-    }
-
-    # one engine just for the (frozen) VAE used by the real-side roundtrip
-    vae_engine = SamplerEngine(
-        variants["bf16_flash_dense"], params, batch=BATCH, num_steps=NUM_STEPS,
-        vae_kind="fake", text_kind="fake",
-    )
+    # the frozen VAE used by the real-side roundtrip (no engine compile
+    # needed for it — REAL_STATS_ONLY=1 computes just the cache, so the
+    # real-side pass can run on CPU while the TPU tunnel is down: the
+    # stream is a pure deterministic function of (synthetic ds seed=0,
+    # FakeVAE, RandomConvFeatures seed))
+    vae = make_vae("fake", target_std=base_model.sigma_data)
 
     # ---- real-side stats: ONCE over 50k, cached to disk (the tunnel can
     # wedge mid-run; recomputing ~45 min of real-side stats on restart is
@@ -100,7 +88,7 @@ def main():
         def real_features():
             done = 0
             for imgs in batch_iterator(ds, BATCH, seed=0):
-                rt = np.asarray(vae_engine.vae.decode(vae_engine.vae.encode(jnp.asarray(imgs))))
+                rt = np.asarray(vae.decode(vae.encode(jnp.asarray(imgs))))
                 take = min(len(rt), N - done)
                 done += take
                 yield feature_fn(rt[:take])
@@ -112,6 +100,29 @@ def main():
         mu_r, cov_r = gaussian_stats(real_features())
         np.savez(stats_cache, mu=mu_r, cov=cov_r)
         print(f"real-side stats over {N} in {time.time()-t0:.0f}s", flush=True)
+    if os.environ.get("REAL_STATS_ONLY"):
+        print("REAL_STATS_ONLY set: stats cached, exiting before generation",
+              flush=True)
+        return
+
+    params0 = jax.jit(lambda k: precond_init(k, base_model))(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(CKPT)
+    state, _, _ = ckpt.restore(init_train_state(params0, OptimConfig()), jax.random.PRNGKey(0))
+    params = state.params
+    ckpt.close()
+
+    def fast(cfg_kw):
+        return replace(base_model, compute_dtype="bfloat16", use_flash=True, **cfg_kw)
+
+    variants = {
+        "bf16_flash_dense": fast({"dispatch": "dense"}),
+        "bf16_flash_cf2_priority": fast(
+            {"dispatch": "capacity", "capacity_factor": 2.0, "capacity_policy": "priority"}
+        ),
+        "bf16_flash_cf1_priority": fast(
+            {"dispatch": "capacity", "capacity_factor": 1.0, "capacity_policy": "priority"}
+        ),
+    }
 
     results = {}
     if os.path.exists(OUT):
@@ -123,8 +134,8 @@ def main():
         if name in results:
             continue
         t0 = time.time()
-        engine = (vae_engine if name == "bf16_flash_dense" else SamplerEngine(
-            cfg, params, batch=BATCH, num_steps=NUM_STEPS, vae_kind="fake", text_kind="fake"))
+        engine = SamplerEngine(
+            cfg, params, batch=BATCH, num_steps=NUM_STEPS, vae_kind="fake", text_kind="fake")
         print(f"[{name}] engine ready in {time.time()-t0:.0f}s", flush=True)
 
         # Resumable gen-side moments: the gen stream is deterministic in the

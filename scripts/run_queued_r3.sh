@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 queued TPU revalidations (PERF.md "Tunnel outage note").
+#
+# One TPU window runs everything that was scripted-and-queued when the axon
+# tunnel wedged, in value order; every step is individually time-bounded and
+# resumable (fid50k caches real-side stats + partial gen moments to disk),
+# so a second wedge mid-queue loses at most the step in flight.
+#
+# Usage: bash scripts/run_queued_r3.sh [logdir]
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-artifacts/queued_r3_logs}
+mkdir -p "$LOGDIR"
+note() { echo "[$(date +%F\ %T)] $*" | tee -a "$LOGDIR/queue.log"; }
+
+note "0/4 liveness: jax.devices() (bounded 15 min)"
+if ! timeout 900 python -c "import jax; print(jax.devices())" >> "$LOGDIR/queue.log" 2>&1; then
+  note "TUNNEL STILL WEDGED - aborting queue"; exit 1
+fi
+
+note "1/4 perf_round3 barrier-corrected revalidation (control/pallas/priority)"
+PERF_ONLY=A_control_cf1,D_pallas_conv,E_priority \
+  timeout 7200 python scripts/perf_round3.py artifacts/perf_round3_reval.json \
+  > "$LOGDIR/perf_reval.log" 2>&1
+note "  exit $? (artifacts/perf_round3_reval.json)"
+
+note "2/4 fid50k priority dials (dense row already recorded; resumable)"
+timeout 21600 python scripts/fid50k_r3.py > "$LOGDIR/fid50k.log" 2>&1
+note "  exit $? (artifacts/fid50k_r3.json)"
+
+note "3/4 fast10k capstone (10k-step fast loop + matched EMA + post-hoc sweep)"
+timeout 21600 python scripts/longrun_r3_fast10k.py > "$LOGDIR/fast10k.log" 2>&1
+note "  exit $? (artifacts/longrun_r3_fast10k/RESULTS.json)"
+
+# 4/4 matched-decay classic-EMA rerun of the 2,800-step run: superseded by
+# fast10k's ema_decay=0.9995 + post-hoc sweep (same question, better run);
+# kept here for a manual window with time to spare:
+#   timeout 14400 python scripts/longrun_r3_ema.py 2800 5000 0.999
+note "queue done"

@@ -24,6 +24,10 @@ dual-path U-Net/ViT mixture-of-experts denoiser), built TPU-first:
                  is single-device).
 - ``obs``      : JSONL logger with the reference metric vocabulary, offline
                  plotter, jax.profiler hooks. Mirrors reference graphs/.
+- ``serve``    : AOT-compiled batched sampling engine + queued/coalescing HTTP
+                 frontend (no reference analog: the reference has no serving).
+- ``deploy``   : serialized serving artifacts via jax.export — the compiled
+                 sampler (+VAE decode, weights baked in) as one portable file.
 
 All modules are parameter pytrees + pure apply functions; RNG is threaded
 explicitly, everything jits with static shapes.

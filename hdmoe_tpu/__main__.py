@@ -151,9 +151,10 @@ def _cmd_fid(args):
     print(json.dumps(out))
 
 
-def _cmd_serve(args):
+def _build_engine(args):
+    """Shared by serve/export: preset/checkpoint -> SamplerEngine."""
     from hdmoe_tpu.models import default_model_config, precond_init
-    from hdmoe_tpu.serve import SamplerEngine, serve
+    from hdmoe_tpu.serve import SamplerEngine
 
     import jax
 
@@ -178,11 +179,35 @@ def _cmd_serve(args):
         params = state.params
     else:
         print("WARNING: serving random-init weights (no --checkpoint)", flush=True)
-    engine = SamplerEngine(
+    return SamplerEngine(
         cfg, params, batch=args.batch_size, num_steps=args.steps,
         guidance=args.guidance, vae_kind=args.vae, text_kind=args.text_encoder,
     )
+
+
+def _cmd_serve(args):
+    from hdmoe_tpu.serve import serve
+
+    if args.artifact:
+        from hdmoe_tpu.deploy import load_sampler
+
+        engine = load_sampler(args.artifact)
+        print(f"serving exported artifact {args.artifact} "
+              f"(batch={engine.batch}, platforms={engine.meta['platforms']})")
+    else:
+        engine = _build_engine(args)
     serve(engine, host=args.host, port=args.port)
+
+
+def _cmd_export(args):
+    from hdmoe_tpu.deploy import export_sampler
+
+    engine = _build_engine(args)
+    meta = export_sampler(engine, args.out)
+    import os
+
+    print(f"exported {args.out} ({os.path.getsize(args.out)} bytes): "
+          f"{meta['platforms']} batch={meta['batch']} steps={meta['num_steps']}")
 
 
 def main(argv=None):
@@ -264,7 +289,25 @@ def main(argv=None):
     p_serve.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8777)
+    p_serve.add_argument("--artifact", default="",
+                         help="serve a file written by `export` instead of "
+                              "building the model (ignores the engine flags)")
     p_serve.set_defaults(fn=_cmd_serve)
+
+    p_export = sub.add_parser(
+        "export",
+        help="export the AOT sampler (+VAE decode, weights baked in) to a "
+             "self-contained artifact servable without model code",
+    )
+    p_export.add_argument("--preset", default="", help="model preset (default: flagship config)")
+    p_export.add_argument("--checkpoint", default="", help="checkpoint directory to export")
+    p_export.add_argument("--out", default="sampler.hdmoe")
+    p_export.add_argument("--batch-size", type=int, default=16)
+    p_export.add_argument("--steps", type=int, default=18)
+    p_export.add_argument("--guidance", type=float, default=1.0)
+    p_export.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
+    p_export.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
+    p_export.set_defaults(fn=_cmd_export)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -72,6 +72,10 @@ class SamplerEngine:
         self.cfg = cfg
         self.batch = batch
         self.mesh = mesh
+        self.num_steps = num_steps
+        self.guidance = guidance
+        self.vae_kind = vae_kind
+        self.text_kind = text_kind
         self.params = project_mp_weights(params)
         self.vae = make_vae(vae_kind, target_std=cfg.sigma_data)
         self.clip = make_text_encoder(text_kind, width=cfg.text_emb_dim) if cfg.text_emb_dim else None
@@ -114,12 +118,13 @@ class SamplerEngine:
             if text_shape is not None
             else jax.ShapeDtypeStruct((1,), jnp.float32)  # unused placeholder
         )
+        # the pure 4-arg program + its specs, kept for re-tracing (deploy.py
+        # exports the same function with the folded params baked in)
+        self._fn4 = sample_fn if text_shape is not None else (lambda p, n, t, k: sample_fn(p, n, None, k))
+        self._specs = (params_spec, noise_spec, text_spec, key_spec)
         with mp_ops.prenormalized_weights():
             self._sample_aot = (
-                jax.jit(
-                    sample_fn if text_shape is not None else (lambda p, n, t, k: sample_fn(p, n, None, k)),
-                    **jit_kw,
-                )
+                jax.jit(self._fn4, **jit_kw)
                 .lower(params_spec, noise_spec, text_spec, key_spec)
                 .compile()
             )
@@ -151,20 +156,8 @@ class SamplerEngine:
         renoise stream (shared, keyed by the first request's seed; with the
         default S_churn=0 churn is inactive and coalescing is exact).
         """
-        total = sum(len(p) for p, _ in requests)
-        assert total <= self.batch, f"coalesced {total} exceeds engine batch {self.batch}"
         shape = (self.batch, self.cfg.img_resolution, self.cfg.img_resolution, self.cfg.in_channels)
-        k0_noise, k_churn = jax.random.split(jax.random.PRNGKey(requests[0][1]))
-        noise = jax.random.normal(k0_noise, shape)
-        all_prompts: List[str] = []
-        row = 0
-        for prompts, seed in requests:
-            n = len(prompts)
-            if row > 0:  # later requests overwrite their rows from their own seed
-                k_noise, _ = jax.random.split(jax.random.PRNGKey(seed))
-                noise = noise.at[row : row + n].set(jax.random.normal(k_noise, shape)[:n])
-            all_prompts.extend(prompts)
-            row += n
+        noise, all_prompts, total, k_churn = _assemble_requests(requests, self.batch, shape)
         if self.clip is not None:
             padded = all_prompts + [""] * (self.batch - total)
             text = self.clip.encode_text(padded)
@@ -172,11 +165,39 @@ class SamplerEngine:
         else:
             latents = self._sample(noise, k_churn)
         images = np.asarray(self.vae.decode(latents))
-        out, row = [], 0
-        for prompts, _ in requests:
-            out.append(images[row : row + len(prompts)])
-            row += len(prompts)
-        return out
+        return _split_results(images, requests)
+
+
+def _assemble_requests(requests: List[tuple], batch: int, shape: tuple):
+    """Coalesce (prompts, seed) requests into one noise batch.
+
+    Each request's noise rows are drawn from its own seed (row i of that
+    seed's full-batch draw), so a request's images do not depend on which
+    other requests share the compiled batch. Shared by :class:`SamplerEngine`
+    and :class:`hdmoe_tpu.deploy.ExportedSampler`.
+    """
+    total = sum(len(p) for p, _ in requests)
+    assert total <= batch, f"coalesced {total} exceeds engine batch {batch}"
+    k0_noise, k_churn = jax.random.split(jax.random.PRNGKey(requests[0][1]))
+    noise = jax.random.normal(k0_noise, shape)
+    all_prompts: List[str] = []
+    row = 0
+    for prompts, seed in requests:
+        n = len(prompts)
+        if row > 0:  # later requests overwrite their rows from their own seed
+            k_noise, _ = jax.random.split(jax.random.PRNGKey(seed))
+            noise = noise.at[row : row + n].set(jax.random.normal(k_noise, shape)[:n])
+        all_prompts.extend(prompts)
+        row += n
+    return noise, all_prompts, total, k_churn
+
+
+def _split_results(images: np.ndarray, requests: List[tuple]) -> List[np.ndarray]:
+    out, row = [], 0
+    for prompts, _ in requests:
+        out.append(images[row : row + len(prompts)])
+        row += len(prompts)
+    return out
 
 
 class BatchingFrontend:

@@ -24,6 +24,10 @@ PERF_ONLY=A_control_cf1,D_pallas_conv,E_priority \
   > "$LOGDIR/perf_reval.log" 2>&1
 note "  exit $? (artifacts/perf_round3_reval.json)"
 
+note "1b/4 deploy-path validation (flagship artifact export/load/identity)"
+timeout 5400 python scripts/deploy_r3.py > "$LOGDIR/deploy.log" 2>&1
+note "  exit $? (artifacts/deploy_r3.json)"
+
 note "2/4 fid50k priority dials (dense row already recorded; resumable)"
 timeout 21600 python scripts/fid50k_r3.py > "$LOGDIR/fid50k.log" 2>&1
 note "  exit $? (artifacts/fid50k_r3.json)"

@@ -42,6 +42,15 @@ def test_cli_serve_help():
     r = _run(["serve", "--help"])
     assert r.returncode == 0
     assert "--checkpoint" in r.stdout and "--port" in r.stdout
+    assert "--artifact" in r.stdout
+
+
+def test_cli_export_help():
+    """Engine construction itself is covered programmatically (test_deploy.py
+    exports a tiny engine bit-exactly); here just the CLI surface."""
+    r = _run(["export", "--help"])
+    assert r.returncode == 0
+    assert "--checkpoint" in r.stdout and "--out" in r.stdout
 
 
 def test_cli_posthoc_ema_roundtrip(tmp_path):

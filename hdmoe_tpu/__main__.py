@@ -38,6 +38,15 @@ def _cmd_train(args):
         overrides["dataset"] = args.dataset
     if args.steps_per_call:
         overrides["steps_per_call"] = args.steps_per_call
+    if args.augment is not None:
+        from hdmoe_tpu.train.augment import AugmentConfig
+
+        kw = {}
+        if args.augment:  # "hflip=0.5,translate=0.1" style overrides
+            for pair in args.augment.split(","):
+                k, _, v = pair.partition("=")
+                kw[k.strip()] = float(v)
+        overrides["augment"] = AugmentConfig(**kw)
     if overrides:
         run = replace(run, **overrides)
     training_hdmoe(model, optim, loss, mask, zeta_configs, run)
@@ -224,6 +233,11 @@ def main(argv=None):
                          help="override the preset dataset (synthetic | "
                               "synthetic-native | synthetic-device | "
                               "imagefolder | flowers102 | cifar10)")
+    p_train.add_argument("--augment", nargs="?", const="", default=None,
+                         help="on-device augmentation before the VAE encode "
+                              "(bare flag = default recipe: hflip 0.5 + "
+                              "translate 0.125; or 'hflip=0.5,rot90=0.25,"
+                              "translate=0.1,brightness=0.1,contrast=0.2')")
     p_train.add_argument("--steps-per-call", type=int, default=0,
                          help="K optimizer steps per device dispatch "
                               "(single-device; amortizes dispatch/transfer)")

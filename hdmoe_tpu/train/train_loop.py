@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from hdmoe_tpu.adapters import make_text_encoder, make_vae
+from hdmoe_tpu.train.augment import AugmentConfig, augment_batch
 from hdmoe_tpu.models.configs import HDMOEMConfig
 from hdmoe_tpu.models.hdmoem import precond_init
 from hdmoe_tpu.obs.logger import Logger
@@ -83,6 +84,11 @@ class RunConfig:
     # becomes K steps. Host-fed mesh runs keep 1 (dataset="synthetic-device"
     # supports K>1 on a mesh — generation happens in-program).
     steps_per_call: int = 1
+    # On-device data augmentation (reference README TODO 3), applied to the
+    # pixel batch INSIDE the compiled program right before the frozen-VAE
+    # encode (train/augment.py). None = off (reference-faithful stream:
+    # enabling augmentation re-splits the encode key).
+    augment: Optional["AugmentConfig"] = None
 
 
 def training_hdmoe(
@@ -106,7 +112,15 @@ def training_hdmoe(
     dataset = make_dataset(run.dataset, resolution=run.data_img_res, root=run.data_root, seed=run.seed)
     vae = make_vae(run.vae, target_std=model_cfg.sigma_data)
     clip = make_text_encoder(run.text_encoder, width=model_cfg.text_emb_dim)
-    encode = jax.jit(lambda px, k: vae.encode(px, k)) if hasattr(vae, "_proj") else vae.encode
+    aug = run.augment if (run.augment is not None and run.augment.enabled) else None
+
+    def _encode(px, k):
+        if aug is not None:  # augment-then-encode inside one compiled program
+            ka, ke = jax.random.split(k)
+            return vae.encode(augment_batch(ka, px, aug), ke)
+        return vae.encode(px, k)  # aug off: bit-identical to pre-augment runs
+
+    encode = jax.jit(_encode) if hasattr(vae, "_proj") else _encode
 
     # Fixed prompt embedding: computed once, reused every step.
     text_emb = None
@@ -192,6 +206,9 @@ def training_hdmoe(
         def _latents_fn(k):
             kp, ke = jax.random.split(k)
             px = device_flowers_batch(kp, run.batch_size, run.data_img_res)
+            if aug is not None:
+                ka, ke = jax.random.split(ke)
+                px = augment_batch(ka, px, aug)
             return vae.encode(px, ke)
 
         if run.mesh is not None:

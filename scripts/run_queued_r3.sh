@@ -36,7 +36,11 @@ note "3/4 fast10k capstone (10k-step fast loop + matched EMA + post-hoc sweep)"
 timeout 21600 python scripts/longrun_r3_fast10k.py > "$LOGDIR/fast10k.log" 2>&1
 note "  exit $? (artifacts/longrun_r3_fast10k/RESULTS.json)"
 
-# 4/4 matched-decay classic-EMA rerun of the 2,800-step run: superseded by
+note "4/4 augmentation A/B (reference TODO 3.1 search evidence)"
+timeout 14400 python scripts/augment_ab_r3.py > "$LOGDIR/augment_ab.log" 2>&1
+note "  exit $? (artifacts/augment_ab_r3/RESULTS.json)"
+
+# 5: matched-decay classic-EMA rerun of the 2,800-step run: superseded by
 # fast10k's ema_decay=0.9995 + post-hoc sweep (same question, better run);
 # kept here for a manual window with time to spare:
 #   timeout 14400 python scripts/longrun_r3_ema.py 2800 5000 0.999

@@ -43,9 +43,16 @@ def _cmd_train(args):
 
         kw = {}
         if args.augment:  # "hflip=0.5,translate=0.1" style overrides
+            valid = set(AugmentConfig.__dataclass_fields__)
             for pair in args.augment.split(","):
-                k, _, v = pair.partition("=")
-                kw[k.strip()] = float(v)
+                k, eq, v = pair.partition("=")
+                k = k.strip()
+                if k not in valid:
+                    sys.exit(f"--augment: unknown op '{k}'; valid: {sorted(valid)}")
+                try:
+                    kw[k] = float(v)
+                except ValueError:
+                    sys.exit(f"--augment: '{pair}' is not of the form op=float")
         overrides["augment"] = AugmentConfig(**kw)
     if overrides:
         run = replace(run, **overrides)

@@ -191,6 +191,18 @@ def training_hdmoe(
         jit_step = jax.jit(step_fn, donate_argnums=0)
 
     k_call = max(1, int(run.steps_per_call))
+    if run.total_steps % k_call:
+        raise ValueError(
+            f"total_steps={run.total_steps} must be a multiple of "
+            f"steps_per_call={k_call}: the compiled program runs exactly K "
+            f"optimizer steps per dispatch, so the budget would overshoot"
+        )
+    if start_step_aligned := int(state.step) % k_call:
+        raise ValueError(
+            f"resumed step {int(state.step)} is off the steps_per_call={k_call} "
+            f"lattice (offset {start_step_aligned}); resume with the K the run "
+            f"was trained with"
+        )
     device_gen = run.dataset == "synthetic-device"
     if device_gen:
         # The batch never exists on the host: device synthetic pixels +
@@ -280,13 +292,17 @@ def training_hdmoe(
             else:
                 latents = encode(pixels, k_enc)
             state, metrics, aux = jit_step(state, latents, text_emb, k_step)
+        # the params in hand have completed optimizer steps step..step+K-1,
+        # so the trackers' "params at optimizer step s" is the block END
+        # (at K=1 this is `step`, unchanged)
+        step_done = step + k_call - 1
         if ema is not None:
-            ema.update(state.params, step, steps_elapsed=k_call)
+            ema.update(state.params, step_done, steps_elapsed=k_call)
         if power_ema is not None:
-            power_ema.update(state.params, step, steps_elapsed=k_call)
+            power_ema.update(state.params, step_done, steps_elapsed=k_call)
             if (step > 0 and step % run.ema_posthoc_every < k_call) \
                     or step + k_call >= run.total_steps:
-                power_ema.snapshot(step)
+                power_ema.snapshot(step_done)
         timer.tick()
 
         fetch = (run.telemetry_every <= k_call or step % run.telemetry_every < k_call

@@ -77,10 +77,15 @@ def main():
         ("device_k8", "synthetic-device", 10, 8),
         # probe the periodic ~545->345 img/s stalls seen at telemetry_every=10
         ("device_k8_t50", "synthetic-device", 50, 8),
-        # same point after the logger's weight-stats reduction moved on
-        # device (the stalls were its host-side full-param-tree np pass)
-        ("device_k8_t50_devstats", "synthetic-device", 50, 8),
+        # NOTE: the recorded "device_k8_t50_devstats" row was this same
+        # config re-run ACROSS code versions (before/after the logger's
+        # weight-stats reduction moved on device). On current code the two
+        # are identical, so it is not in the default sweep — reproduce the
+        # A/B by checking out the pre-fix commit with
+        # FEED_ONLY=device_k8_t50_devstats.
     ]
+    if os.environ.get("FEED_ONLY", "").find("devstats") >= 0:
+        combos.append(("device_k8_t50_devstats", "synthetic-device", 50, 8))
     only = os.environ.get("FEED_ONLY", "")
     if only:
         combos = [c for c in combos if c[0] in only.split(",")]

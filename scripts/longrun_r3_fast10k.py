@@ -71,8 +71,11 @@ def main():
 
     ds = make_dataset("synthetic", resolution=run.data_img_res, seed=0)
 
+    # one jitted flagship init serves all tree-structure needs below (each
+    # re-init is a full device dispatch through the tunnel)
+    params0 = jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0))
+
     def load(ckpt_dir):
-        params0 = jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0))
         cm = CheckpointManager(ckpt_dir)
         state, _, _ = cm.restore(init_train_state(params0, OptimConfig()), jax.random.PRNGKey(0))
         cm.close()
@@ -95,8 +98,7 @@ def main():
 
     from hdmoe_tpu.train.ema import load_power_snapshots, posthoc_ema
 
-    snaps = load_power_snapshots(CKPT + "_posthoc.npz",
-                                 jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0)))
+    snaps = load_power_snapshots(CKPT + "_posthoc.npz", params0)
     for sr in (0.05, 0.10, 0.15):
         import jax.numpy as jnp
 

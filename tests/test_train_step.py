@@ -265,3 +265,64 @@ def test_training_loop_posthoc_ema_snapshots(tmp_path):
     for a, b in zip(ref_leaves, rec_leaves):
         assert a.shape == np.asarray(b).shape
         assert np.all(np.isfinite(np.asarray(b)))
+
+
+def test_training_loop_multistep_budget_validation(tmp_path):
+    """A step budget off the K lattice is rejected up front: the compiled
+    program runs exactly K optimizer steps per dispatch, so a non-multiple
+    total would silently overshoot (round-3 review finding)."""
+    import pytest
+
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+
+    cfg = tiny_cfg()
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="bad_k", batch_size=4, total_steps=7, save_interval=0,
+        data_img_res=64, dataset="synthetic", vae="fake",
+        text_encoder="fake", steps_per_call=3,
+    )
+    zeta_cfg = {"total_schedule_steps": 7, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    with pytest.raises(ValueError, match="multiple of"):
+        training_hdmoe(cfg, OptimConfig(total_schedule_steps=7),
+                       EDMLossConfig(num_experts=cfg.num_experts),
+                       mask_cfg, zeta_cfg, run)
+
+
+def test_training_loop_posthoc_snapshot_time_is_block_end(tmp_path):
+    """Under steps_per_call=K the params handed to the trackers have
+    completed the whole K-step block, so the recorded profile time must be
+    the block END (t=total), not the block start (round-3 review finding:
+    a K-1 skew biases every post-hoc reconstruction)."""
+    from hdmoe_tpu.train.ema import load_power_snapshots
+    from hdmoe_tpu.train.train_loop import RunConfig, training_hdmoe
+
+    cfg = tiny_cfg()
+    mask_cfg = {
+        "unet_attr": [3, 5], "vit_attr": [2, 4], "p_mean": -1.2, "p_std": 1.6,
+        "BW": 0.3, "max_BW": 0.8, "min_active": 1, "step_size": 0.1,
+        "strat_band": "step", "unet_noise_range": (0.0, 0.6),
+        "vit_noise_range": (0.4, 1.0),
+    }
+    zeta_cfg = {"total_schedule_steps": 4, "max_zeta": 2.0, "min_zeta": 0.01,
+                "strategy": "cos", "warmup_ratio": 0.1}
+    run = RunConfig(
+        save_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        run_name="posthoc_k", batch_size=4, total_steps=4, save_interval=0,
+        data_img_res=64, dataset="synthetic", vae="fake",
+        text_encoder="fake", steps_per_call=2, ema_posthoc_every=2,
+    )
+    training_hdmoe(cfg, OptimConfig(total_schedule_steps=4),
+                   EDMLossConfig(num_experts=cfg.num_experts),
+                   mask_cfg, zeta_cfg, run)
+    params_like = precond_init(jax.random.PRNGKey(0), cfg)
+    snaps = load_power_snapshots(str(tmp_path / "ckpt") + "_posthoc.npz", params_like)
+    ts = sorted({t for _, t, _ in snaps})
+    assert ts == [4.0], ts  # 4 optimizer steps completed => t = 4

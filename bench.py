@@ -90,10 +90,47 @@ def _measure(cfg, params, text, noise, n_runs=3, folded=False):
     return BATCH / elapsed, step_ms, elapsed
 
 
+def _arm_watchdog(minutes: float, what: str):
+    """Deadline guard against the axon tunnel wedging mid-bench.
+
+    The tunnel can hang server-side for hours (CLAUDE.md gotchas); a PJRT
+    call made while it is wedged blocks forever, which would leave the
+    driver's end-of-round bench run hanging instead of failing. The watchdog
+    fires os._exit(3) with a stderr diagnostic — and prints NO json line, so
+    a wedge can never be recorded as a score. Disarm by calling the returned
+    cancel() once the guarded phase completes.
+    """
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(minutes * 60):
+            print(
+                f"bench watchdog: {what} still blocked after {minutes:.0f} min "
+                "- TPU tunnel presumed wedged, aborting without a score",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done.set
+
+
 def main():
     from hdmoe_tpu.models import default_model_config, precond_init
 
+    # Device discovery is the usual wedge point (fresh plugin inits block
+    # indefinitely during an outage); healthy discovery takes <1 min.
+    cancel = _arm_watchdog(15, "device discovery")
     dev = jax.devices()[0]
+    cancel()
+    # Full bench is ~15-20 min through the tunnel (slow compiles); 90 min
+    # means something hung mid-run.
+    _arm_watchdog(90, "benchmark run")
     key = jax.random.PRNGKey(0)
     base_cfg = default_model_config()
     params = jax.jit(lambda k: precond_init(k, base_cfg))(key)

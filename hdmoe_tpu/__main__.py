@@ -83,6 +83,7 @@ def _cmd_sample(args):
         vae_kind=args.vae,
         text_kind=args.text_encoder,
         seed=args.seed,
+        solver=args.solver,
     )
     print(f"wrote samples to {args.out}")
 
@@ -162,7 +163,7 @@ def _cmd_fid(args):
         cfg, args.checkpoint, dataset_name=args.dataset, data_root=args.data_root,
         resolution=args.resolution, n=args.n, batch=args.batch_size,
         num_steps=args.steps, tower=args.tower, vae=args.vae, text=args.text_encoder,
-        prompt=args.prompt, seed=args.seed,
+        prompt=args.prompt, seed=args.seed, solver=args.solver,
     )
     print(json.dumps(out))
 
@@ -198,6 +199,8 @@ def _build_engine(args):
     return SamplerEngine(
         cfg, params, batch=args.batch_size, num_steps=args.steps,
         guidance=args.guidance, vae_kind=args.vae, text_kind=args.text_encoder,
+        solver=getattr(args, "solver", "heun"),
+        quantize=getattr(args, "quantize", "none"),
     )
 
 
@@ -261,6 +264,8 @@ def main(argv=None):
     p_sample.add_argument("--vae", default="fake")
     p_sample.add_argument("--text-encoder", default="fake")
     p_sample.add_argument("--seed", type=int, default=0)
+    p_sample.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"],
+                          help="ODE solver: heun = 2N-1 NFE (reference), dpmpp2m = N NFE")
     p_sample.set_defaults(fn=_cmd_sample)
 
     p_bench = sub.add_parser("bench", help="throughput benchmark")
@@ -290,6 +295,8 @@ def main(argv=None):
     p_fid.add_argument("--text-encoder", default="fake")
     p_fid.add_argument("--prompt", default="a photo of a flower")
     p_fid.add_argument("--seed", type=int, default=0)
+    p_fid.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"],
+                       help="ODE solver: heun = 2N-1 NFE (reference), dpmpp2m = N NFE")
     p_fid.set_defaults(fn=_cmd_fid)
 
     p_ph = sub.add_parser("posthoc-ema", help="synthesize an EMA checkpoint of any averaging length from power-profile snapshots")
@@ -308,6 +315,9 @@ def main(argv=None):
     p_serve.add_argument("--guidance", type=float, default=1.0)
     p_serve.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
     p_serve.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
+    p_serve.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])
+    p_serve.add_argument("--quantize", default="none", choices=["none", "int8"],
+                         help="weight-only int8 (smaller params/artifact; fp32 math elsewhere)")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8777)
     p_serve.add_argument("--artifact", default="",
@@ -328,6 +338,9 @@ def main(argv=None):
     p_export.add_argument("--guidance", type=float, default=1.0)
     p_export.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
     p_export.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
+    p_export.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])
+    p_export.add_argument("--quantize", default="none", choices=["none", "int8"],
+                          help="weight-only int8 (~4x smaller artifact; quality roundtrip-tested)")
     p_export.set_defaults(fn=_cmd_export)
 
     args = parser.parse_args(argv)

@@ -122,6 +122,9 @@ def export_sampler(
         "export_backend": backend,
         "batch": engine.batch,
         "num_steps": engine.num_steps,
+        "solver": engine.solver,
+        "nfe": engine.nfe,
+        "quantize": engine.quantize,
         "guidance": engine.guidance,
         "img_resolution": cfg.img_resolution,
         "in_channels": cfg.in_channels,

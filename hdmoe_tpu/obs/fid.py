@@ -171,6 +171,7 @@ def fid_from_checkpoint(
     prompt: str = "a photo of a flower",
     seed: int = 0,
     real_roundtrip: Optional[bool] = None,
+    solver: str = "heun",
 ) -> dict:
     """End-to-end FID: restore a checkpoint, sample ``n`` images through the
     AOT engine, stream real images from the dataset, compute FID with the
@@ -189,7 +190,7 @@ def fid_from_checkpoint(
     params = jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0))
     state, _, _ = ckpt.restore(init_train_state(params, OptimConfig()), jax.random.PRNGKey(0))
     engine = SamplerEngine(cfg, state.params, batch=batch, num_steps=num_steps,
-                           vae_kind=vae, text_kind=text)
+                           vae_kind=vae, text_kind=text, solver=solver)
 
     if tower == "random":
         feature_fn: Callable = RandomConvFeatures()
@@ -242,5 +243,5 @@ def fid_from_checkpoint(
         real = _roundtrip()
     fid = fid_evaluate(sample_fn, real, feature_fn, n=n, batch=batch,
                        progress=lambda s: print(s, flush=True))
-    return {"fid": fid, "tower": tower_used, "n": n, "nfe": 2 * num_steps - 1,
-            "real_roundtrip": bool(real_roundtrip)}
+    return {"fid": fid, "tower": tower_used, "n": n, "nfe": engine.nfe,
+            "solver": solver, "real_roundtrip": bool(real_roundtrip)}

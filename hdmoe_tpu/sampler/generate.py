@@ -17,7 +17,8 @@ import numpy as np
 from hdmoe_tpu.adapters import make_text_encoder, make_vae
 from hdmoe_tpu.models.configs import HDMOEMConfig
 from hdmoe_tpu.models.hdmoem import precond_apply, precond_init
-from hdmoe_tpu.sampler.edm import EDMSamplerConfig, edm_sample, make_denoiser
+from hdmoe_tpu.sampler.edm import EDMSamplerConfig, make_denoiser
+from hdmoe_tpu.sampler.dpm import make_sampler
 from hdmoe_tpu.train.checkpoint import CheckpointManager
 from hdmoe_tpu.train.optim import OptimConfig
 from hdmoe_tpu.train.train_step import init_train_state
@@ -50,6 +51,7 @@ def sample_and_save(
     vae_kind: str = "fake",
     text_kind: str = "fake",
     seed: int = 0,
+    solver: str = "heun",
 ) -> np.ndarray:
     """Sample a batch and save grid + per-sample PNGs; returns the uint8 images."""
     key = jax.random.PRNGKey(seed)
@@ -87,7 +89,8 @@ def sample_and_save(
     noise = jax.random.normal(
         k_noise, (batch_size, model_cfg.img_resolution, model_cfg.img_resolution, model_cfg.in_channels)
     )
-    latents = jax.jit(lambda n, k: edm_sample(denoiser, n, text_emb, scfg, key=k))(noise, k_churn)
+    solve = make_sampler(solver)
+    latents = jax.jit(lambda n, k: solve(denoiser, n, text_emb, scfg, key=k))(noise, k_churn)
     images = np.asarray(vae.decode(latents))
 
     os.makedirs(out_dir, exist_ok=True)

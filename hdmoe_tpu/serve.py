@@ -41,7 +41,8 @@ from hdmoe_tpu.adapters import make_text_encoder, make_vae
 from hdmoe_tpu.models.configs import HDMOEMConfig
 from hdmoe_tpu.models.hdmoem import precond_apply
 from hdmoe_tpu.ops import mp as mp_ops
-from hdmoe_tpu.sampler.edm import EDMSamplerConfig, edm_sample, make_denoiser
+from hdmoe_tpu.sampler.edm import EDMSamplerConfig, make_denoiser
+from hdmoe_tpu.sampler.dpm import make_sampler, solver_nfe
 from hdmoe_tpu.train.optim import project_mp_weights
 
 
@@ -68,6 +69,8 @@ class SamplerEngine:
         text_kind: str = "fake",
         mesh: Optional[Any] = None,
         data_axis: str = "data",
+        solver: str = "heun",
+        quantize: str = "none",
     ):
         self.cfg = cfg
         self.batch = batch
@@ -76,12 +79,30 @@ class SamplerEngine:
         self.guidance = guidance
         self.vae_kind = vae_kind
         self.text_kind = text_kind
+        self.solver = solver
+        self.nfe = solver_nfe(solver, num_steps)
         self.params = project_mp_weights(params)
+        # weight-only int8: quantize the folded (projected) weights once on
+        # the host; the compiled program takes int8 leaves + scales as its
+        # param inputs and dequantizes in-graph (ops/quant.py — size claim,
+        # not a speed claim; convs are MXU-lane-bound, PERF.md)
+        if quantize == "int8":
+            from hdmoe_tpu.ops.quant import quantize_tree_int8
+
+            self.params = quantize_tree_int8(self.params)
+        elif quantize != "none":
+            raise ValueError(f"unknown quantize {quantize!r} (none | int8)")
+        self.quantize = quantize
         self.vae = make_vae(vae_kind, target_std=cfg.sigma_data)
         self.clip = make_text_encoder(text_kind, width=cfg.text_emb_dim) if cfg.text_emb_dim else None
         scfg = EDMSamplerConfig(num_steps=num_steps, guidance=guidance)
+        solve = make_sampler(solver)
 
         def sample_fn(p, noise, text_emb, k):
+            if quantize == "int8":
+                from hdmoe_tpu.ops.quant import dequantize_tree
+
+                p = dequantize_tree(p)
             def precond_fn(x, sigma, te, m1, m2, zeta, transition_point, softness):
                 return precond_apply(
                     p, cfg, x, sigma, te, m1, m2, zeta,
@@ -89,7 +110,7 @@ class SamplerEngine:
                 )
 
             den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness)
-            return edm_sample(den, noise, text_emb, scfg, key=k)
+            return solve(den, noise, text_emb, scfg, key=k)
 
         shape = (batch, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
         text_shape = (batch, 77, cfg.text_emb_dim) if cfg.text_emb_dim else None

@@ -18,29 +18,33 @@ if ! timeout 900 python -c "import jax; print(jax.devices())" >> "$LOGDIR/queue.
   note "TUNNEL STILL WEDGED - aborting queue"; exit 1
 fi
 
-note "1/4 perf_round3 barrier-corrected revalidation (control/pallas/priority)"
+note "1/6 perf_round3 barrier-corrected revalidation (control/pallas/priority)"
 PERF_ONLY=A_control_cf1,D_pallas_conv,E_priority \
   timeout 7200 python scripts/perf_round3.py artifacts/perf_round3_reval.json \
   > "$LOGDIR/perf_reval.log" 2>&1
 note "  exit $? (artifacts/perf_round3_reval.json)"
 
-note "1b/4 deploy-path validation (flagship artifact export/load/identity)"
+note "1b/6 deploy-path validation (flagship artifact export/load/identity)"
 timeout 5400 python scripts/deploy_r3.py > "$LOGDIR/deploy.log" 2>&1
 note "  exit $? (artifacts/deploy_r3.json)"
 
-note "2/4 fid50k priority dials (dense row already recorded; resumable)"
+note "2/6 fid50k priority dials (dense row already recorded; resumable)"
 timeout 21600 python scripts/fid50k_r3.py > "$LOGDIR/fid50k.log" 2>&1
 note "  exit $? (artifacts/fid50k_r3.json)"
 
-note "3/4 fast10k capstone (10k-step fast loop + matched EMA + post-hoc sweep)"
+note "3/6 fast10k capstone (10k-step fast loop + matched EMA + post-hoc sweep)"
 timeout 21600 python scripts/longrun_r3_fast10k.py > "$LOGDIR/fast10k.log" 2>&1
 note "  exit $? (artifacts/longrun_r3_fast10k/RESULTS.json)"
 
-note "4/4 augmentation A/B (reference TODO 3.1 search evidence)"
+note "4/6 augmentation A/B (reference TODO 3.1 search evidence)"
 timeout 14400 python scripts/augment_ab_r3.py > "$LOGDIR/augment_ab.log" 2>&1
 note "  exit $? (artifacts/augment_ab_r3/RESULTS.json)"
 
-# 5: matched-decay classic-EMA rerun of the 2,800-step run: superseded by
+note "5/6 DPM-Solver++(2M) solver dial (FID@5k + throughput vs Heun)"
+timeout 14400 python scripts/dpm_eval_r3.py > "$LOGDIR/dpm_eval.log" 2>&1
+note "  exit $? (artifacts/dpm_eval_r3.json)"
+
+# 6: matched-decay classic-EMA rerun of the 2,800-step run: superseded by
 # fast10k's ema_decay=0.9995 + post-hoc sweep (same question, better run);
 # kept here for a manual window with time to spare:
 #   timeout 14400 python scripts/longrun_r3_ema.py 2800 5000 0.999

@@ -149,3 +149,16 @@ def test_dp_engine_batch_must_divide_axis():
     mesh = make_mesh(MeshConfig(data=2, model=jax.device_count() // 2, expert=1))
     with pytest.raises(AssertionError, match="divide"):
         SamplerEngine(cfg, params, batch=3, num_steps=2, mesh=mesh)
+
+
+def test_engine_dpmpp2m_solver(engine):
+    """solver="dpmpp2m" compiles through the same AOT path, halves the NFE
+    accounting, and produces images distinct from Heun's at the same seed."""
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    e2 = SamplerEngine(cfg, params, batch=4, num_steps=2, solver="dpmpp2m")
+    assert e2.nfe == 2 and engine.nfe == 3  # N vs 2N-1
+    imgs = e2.sample(["a flower", "a rose"], seed=1)
+    assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.uint8
+    np.testing.assert_array_equal(e2.sample(["a flower", "a rose"], seed=1), imgs)
+    assert not np.array_equal(engine.sample(["a flower", "a rose"], seed=1), imgs)

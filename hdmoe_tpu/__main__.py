@@ -196,12 +196,19 @@ def _build_engine(args):
         params = state.params
     else:
         print("WARNING: serving random-init weights (no --checkpoint)", flush=True)
-    return SamplerEngine(
-        cfg, params, batch=args.batch_size, num_steps=args.steps,
-        guidance=args.guidance, vae_kind=args.vae, text_kind=args.text_encoder,
-        solver=getattr(args, "solver", "heun"),
+    kw = dict(
+        num_steps=args.steps, guidance=args.guidance, vae_kind=args.vae,
+        text_kind=args.text_encoder, solver=getattr(args, "solver", "heun"),
         quantize=getattr(args, "quantize", "none"),
     )
+    buckets = getattr(args, "buckets", "")
+    if buckets:
+        from hdmoe_tpu.serve import BucketedEngine
+
+        return BucketedEngine(
+            cfg, params, buckets=tuple(int(b) for b in buckets.split(",")), **kw
+        )
+    return SamplerEngine(cfg, params, batch=args.batch_size, **kw)
 
 
 def _cmd_serve(args):
@@ -318,6 +325,10 @@ def main(argv=None):
     p_serve.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])
     p_serve.add_argument("--quantize", default="none", choices=["none", "int8"],
                          help="weight-only int8 (smaller params/artifact; fp32 math elsewhere)")
+    p_serve.add_argument("--buckets", default="",
+                         help="comma list of batch buckets (e.g. 1,4,16): one AOT "
+                              "executable per size, requests route to the smallest fit "
+                              "(overrides --batch-size)")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8777)
     p_serve.add_argument("--artifact", default="",

@@ -218,13 +218,21 @@ class Plotter:
         if not recs:
             return None
         recs = sorted(recs, key=lambda r: r["nfe"])
-        nfe = np.asarray([r["nfe"] for r in recs], dtype=np.float64)
-        fid = np.asarray([r["fid"] for r in recs], dtype=np.float64)
+        # one curve per solver; records predating the solver knob are Heun
+        solvers = sorted({r.get("solver", "heun") for r in recs})
         fig, ax = plt.subplots(figsize=(7, 5))
-        ax.plot(nfe, fid, "o-", lw=1.5)
-        for x, y in zip(nfe, fid):
-            ax.annotate(f"{y:.1f}", (x, y), textcoords="offset points",
-                        xytext=(0, 8), fontsize=8, ha="center")
+        for solver in solvers:
+            rs = [r for r in recs if r.get("solver", "heun") == solver]
+            nfe = np.asarray([r["nfe"] for r in rs], dtype=np.float64)
+            fid = np.asarray([r["fid"] for r in rs], dtype=np.float64)
+            ax.plot(nfe, fid, "o-", lw=1.5,
+                    label=solver if len(solvers) > 1 else None)
+            for x, y in zip(nfe, fid):
+                ax.annotate(f"{y:.1f}", (x, y), textcoords="offset points",
+                            xytext=(0, 8), fontsize=8, ha="center")
+        if len(solvers) > 1:
+            ax.legend(title="solver")
+        nfe = np.asarray(sorted({r["nfe"] for r in recs}), dtype=np.float64)
         ax.set_xscale("log")
         ax.set_xticks(nfe)
         ax.get_xaxis().set_major_formatter(matplotlib.ticker.ScalarFormatter())

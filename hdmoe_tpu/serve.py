@@ -221,6 +221,53 @@ def _split_results(images: np.ndarray, requests: List[tuple]) -> List[np.ndarray
     return out
 
 
+class BucketedEngine:
+    """Several fixed-batch AOT executables behind one engine interface.
+
+    A single ``SamplerEngine`` pads every request to its compiled batch, so
+    a 1-prompt request pays full-batch latency. Buckets compile one
+    executable per size (e.g. ``(1, 4, 16)``) and route each coalesced
+    request set to the smallest bucket it fits — tail latency scales with
+    the request, throughput with the biggest bucket. Costs one AOT compile
+    per bucket at startup (expensive through a slow TPU tunnel — keep the
+    bucket list short in production).
+
+    Drop-in for :class:`SamplerEngine` wherever ``batch``, ``sample``, and
+    ``sample_coalesced`` are used (``BatchingFrontend``, ``serve``).
+    Cross-bucket consistency: a request's noise rows are the leading rows
+    of its seed's draw in EVERY bucket (jax PRNG counters are laid out
+    row-major), so with per-sample dispatch (``dispatch="dense"``) the same
+    request produces the same images whichever bucket runs it; capacity
+    dispatch ranks across the padded batch, so there bucket choice can
+    shift drop patterns (same caveat as coalescing itself).
+    """
+
+    def __init__(self, cfg: HDMOEMConfig, params: Any, buckets=(1, 4, 16), **engine_kw):
+        assert len(buckets) > 0 and sorted(set(buckets)) == sorted(buckets), buckets
+        self.buckets = tuple(sorted(buckets))
+        self.engines = {b: SamplerEngine(cfg, params, batch=b, **engine_kw) for b in self.buckets}
+        self.cfg = cfg
+        self.batch = self.buckets[-1]  # frontend coalescing cap
+        biggest = self.engines[self.batch]
+        self.vae, self.clip = biggest.vae, biggest.clip
+        self.nfe, self.solver = biggest.nfe, biggest.solver
+        self.last_bucket: Optional[int] = None  # observability + tests
+
+    def pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise AssertionError(f"request of {n} exceeds largest bucket {self.batch}")
+
+    def sample(self, prompts: List[str], seed: int = 0) -> np.ndarray:
+        return self.sample_coalesced([(prompts, seed)])[0]
+
+    def sample_coalesced(self, requests: List[tuple]) -> List[np.ndarray]:
+        total = sum(len(p) for p, _ in requests)
+        self.last_bucket = self.pick_bucket(total)
+        return self.engines[self.last_bucket].sample_coalesced(requests)
+
+
 class BatchingFrontend:
     """Thread-safe queue in front of a SamplerEngine.
 

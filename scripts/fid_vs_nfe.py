@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "artifacts/fid_r2/ckpt_trained"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 OUTDIR = "artifacts/fid_r2"
-STEPS = (2, 3, 5, 10, 18)  # NFE 3, 5, 9, 19, 35
+# both solvers at comparable NFE grids (heun NFE = 2*steps-1; dpm = steps)
+SWEEP = (
+    ("heun", (2, 3, 5, 10, 18)),       # NFE 3, 5, 9, 19, 35
+    ("dpmpp2m", (3, 5, 9, 19, 35)),    # NFE 3, 5, 9, 19, 35
+)
 
 
 def main():
@@ -36,17 +40,20 @@ def main():
     os.makedirs(OUTDIR, exist_ok=True)
     jsonl = os.path.join(OUTDIR, f"{run.run_name}_fid.jsonl")
     with open(jsonl, "w") as f:
-        for steps in STEPS:
-            t0 = time.time()
-            out = fid_from_checkpoint(
-                model, os.path.abspath(CKPT), dataset_name=run.dataset,
-                data_root=run.data_root, resolution=run.data_img_res,
-                n=N, batch=64, num_steps=steps, tower="auto",
-                vae="fake", text="fake", prompt=run.fixed_prompt)
-            out["wall_s"] = round(time.time() - t0, 1)
-            f.write(json.dumps(out) + "\n")
-            f.flush()
-            print(f"NFE {out['nfe']}: FID {out['fid']:.2f} ({out['wall_s']}s)", flush=True)
+        for solver, steps_grid in SWEEP:
+            for steps in steps_grid:
+                t0 = time.time()
+                out = fid_from_checkpoint(
+                    model, os.path.abspath(CKPT), dataset_name=run.dataset,
+                    data_root=run.data_root, resolution=run.data_img_res,
+                    n=N, batch=64, num_steps=steps, tower="auto",
+                    vae="fake", text="fake", prompt=run.fixed_prompt,
+                    solver=solver)
+                out["wall_s"] = round(time.time() - t0, 1)
+                f.write(json.dumps(out) + "\n")
+                f.flush()
+                print(f"{solver} NFE {out['nfe']}: FID {out['fid']:.2f} "
+                      f"({out['wall_s']}s)", flush=True)
 
     p = Plotter(OUTDIR, run.run_name, out_dir=os.path.join(OUTDIR, "analysis"))
     png = p.plot_fid_vs_nfe()

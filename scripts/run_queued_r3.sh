@@ -44,6 +44,10 @@ note "5/6 DPM-Solver++(2M) solver dial (FID@5k + throughput vs Heun)"
 timeout 14400 python scripts/dpm_eval_r3.py > "$LOGDIR/dpm_eval.log" 2>&1
 note "  exit $? (artifacts/dpm_eval_r3.json)"
 
+note "6/7 bucketed-serving tail latency (batch 1/4/16 engines)"
+timeout 7200 python scripts/serve_latency_r3.py > "$LOGDIR/serve_latency.log" 2>&1
+note "  exit $? (artifacts/serve_latency_r3.json)"
+
 # 6: matched-decay classic-EMA rerun of the 2,800-step run: superseded by
 # fast10k's ema_decay=0.9995 + post-hoc sweep (same question, better run);
 # kept here for a manual window with time to spare:

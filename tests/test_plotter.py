@@ -70,3 +70,18 @@ def test_fid_vs_nfe_plot(tmp_path):
     assert out is not None and out.exists() and out.stat().st_size > 10_000
     # plot_all picks the stream up too
     assert "05_fid_vs_nfe.png" in {o.name for o in plotter.plot_all()}
+
+
+def test_fid_vs_nfe_plot_two_solvers(tmp_path):
+    """Records carrying a "solver" field render one labeled curve per
+    solver (heun default for pre-solver records — backward compatible)."""
+    import json
+
+    rows = [{"nfe": n, "fid": f, "tower": "random-conv", "n": 100}
+            for n, f in [(3, 200.0), (9, 90.0), (35, 30.0)]]
+    rows += [{"nfe": n, "fid": f, "solver": "dpmpp2m", "tower": "random-conv",
+              "n": 100} for n, f in [(3, 150.0), (9, 60.0), (35, 29.0)]]
+    (tmp_path / "t_fid.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    plotter = Plotter(str(tmp_path), "t", out_dir=str(tmp_path / "analysis"))
+    out = plotter.plot_fid_vs_nfe()
+    assert out is not None and out.exists() and out.stat().st_size > 10_000

@@ -162,3 +162,36 @@ def test_engine_dpmpp2m_solver(engine):
     assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.uint8
     np.testing.assert_array_equal(e2.sample(["a flower", "a rose"], seed=1), imgs)
     assert not np.array_equal(engine.sample(["a flower", "a rose"], seed=1), imgs)
+
+
+def test_bucketed_engine_routing_and_consistency():
+    """BucketedEngine routes to the smallest fitting bucket and (with the
+    per-sample dense dispatch) a request's images are invariant to which
+    bucket runs it (noise rows are the seed draw's leading rows in every
+    bucket; jax PRNG counters are row-major)."""
+    from hdmoe_tpu.serve import BucketedEngine
+
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    be = BucketedEngine(cfg, params, buckets=(2, 4), num_steps=2)
+    assert be.batch == 4 and be.pick_bucket(1) == 2 and be.pick_bucket(3) == 4
+
+    one = be.sample(["a flower"], seed=3)
+    assert be.last_bucket == 2 and one.shape == (1, 64, 64, 3)
+    three = be.sample(["a flower", "b", "c"], seed=3)
+    assert be.last_bucket == 4
+
+    # cross-bucket consistency: same request, forced through the big bucket
+    via_big = be.engines[4].sample(["a flower"], seed=3)
+    a, b = one.astype(np.int32), via_big.astype(np.int32)
+    assert float((a != b).mean()) <= 1e-3  # knife-edge uint8 flips only
+    np.testing.assert_array_equal(three[:1], via_big)  # same bucket, same rows
+
+    with pytest.raises(AssertionError, match="exceeds"):
+        be.sample(["p"] * 5)
+
+    # frontend drop-in: concurrent small requests ride the small bucket
+    from hdmoe_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(be)
+    np.testing.assert_array_equal(fe.submit(["a flower"], seed=3), one)

@@ -17,7 +17,9 @@ API:
   POST /sample {"prompts": [...], "seed"?: int, "format"?: "png"|"raw"}
       -> {"images": [base64 PNG, ...], "shape": [...], "latency_ms": f}
          ("raw" returns nested uint8 lists instead — large)
-  GET  /healthz -> {"ok": true, "device": "...", "batch": N}
+  GET  /healthz -> {"ok": true, "device": "...", "batch": N, "buckets"?: [...]}
+  GET  /metrics -> Prometheus text format (requests/images/errors/runs
+      counters, queue depth, request-latency quantiles, per-bucket runs)
 
 Programmatic use: ``SamplerEngine`` without the HTTP wrapper.
 """
@@ -268,6 +270,72 @@ class BucketedEngine:
         return self.engines[self.last_bucket].sample_coalesced(requests)
 
 
+class ServeMetrics:
+    """Thread-safe serving counters + latency quantiles.
+
+    The reference has no serving layer, so no metrics analog exists there;
+    this is the production-observability half of ``serve.py`` — rendered in
+    Prometheus text exposition format at ``GET /metrics``. Request latency
+    includes queue wait (what a caller feels); quantiles come from a
+    bounded ring of the most recent requests."""
+
+    def __init__(self, window: int = 1024):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.images_total = 0
+        self.errors_total = 0
+        self.runs_total = 0
+        self.bucket_runs: dict = {}
+        self._lat_sum = 0.0
+        self._lat = deque(maxlen=window)
+
+    def record_request(self, n_images: int, wall_s: float, error: bool):
+        with self._lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            else:
+                self.images_total += n_images
+            self._lat_sum += wall_s
+            self._lat.append(wall_s)
+
+    def record_run(self, bucket: Optional[int]):
+        with self._lock:
+            self.runs_total += 1
+            if bucket is not None:
+                self.bucket_runs[bucket] = self.bucket_runs.get(bucket, 0) + 1
+
+    def render(self, queue_depth: int = 0) -> str:
+        """Prometheus text exposition format (0.0.4)."""
+        with self._lock:
+            lines = [
+                "# TYPE hdmoe_requests_total counter",
+                f"hdmoe_requests_total {self.requests_total}",
+                "# TYPE hdmoe_images_total counter",
+                f"hdmoe_images_total {self.images_total}",
+                "# TYPE hdmoe_errors_total counter",
+                f"hdmoe_errors_total {self.errors_total}",
+                "# TYPE hdmoe_runs_total counter",
+                f"hdmoe_runs_total {self.runs_total}",
+                "# TYPE hdmoe_queue_depth gauge",
+                f"hdmoe_queue_depth {queue_depth}",
+            ]
+            lines.append("# TYPE hdmoe_bucket_runs_total counter")
+            for b in sorted(self.bucket_runs):
+                lines.append(f'hdmoe_bucket_runs_total{{bucket="{b}"}} {self.bucket_runs[b]}')
+            lines.append("# TYPE hdmoe_request_latency_seconds summary")
+            lat = sorted(self._lat)
+            for q in (0.5, 0.95, 0.99):
+                if lat:
+                    v = lat[min(len(lat) - 1, int(q * len(lat)))]
+                    lines.append(f'hdmoe_request_latency_seconds{{quantile="{q}"}} {v:.6f}')
+            lines.append(f"hdmoe_request_latency_seconds_sum {self._lat_sum:.6f}")
+            lines.append(f"hdmoe_request_latency_seconds_count {self.requests_total}")
+        return "\n".join(lines) + "\n"
+
+
 class BatchingFrontend:
     """Thread-safe queue in front of a SamplerEngine.
 
@@ -278,6 +346,7 @@ class BatchingFrontend:
 
     def __init__(self, engine: SamplerEngine):
         self.engine = engine
+        self.metrics = ServeMetrics()
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -286,8 +355,12 @@ class BatchingFrontend:
         """Blocking: enqueue and wait for this request's images."""
         assert len(prompts) <= self.engine.batch
         item = {"prompts": prompts, "seed": seed, "done": threading.Event()}
+        t0 = time.perf_counter()
         self._q.put(item)
         item["done"].wait()
+        self.metrics.record_request(
+            len(prompts), time.perf_counter() - t0, error="error" in item
+        )
         if "error" in item:
             raise item["error"]
         return item["result"]
@@ -319,12 +392,17 @@ class BatchingFrontend:
                 for it in batch_items:
                     it["error"] = e
             finally:
+                self.metrics.record_run(getattr(self.engine, "last_bucket", None))
                 for it in batch_items:
                     it["done"].set()
 
 
-def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
-    """Blocking HTTP server around a SamplerEngine (queued + coalescing)."""
+def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
+    """Build (but don't start) the HTTP server; ``port=0`` binds a free one.
+
+    Returns a ``ThreadingHTTPServer`` whose actual port is
+    ``server_address[1]`` — tests use port 0 so concurrent pytest processes
+    never collide on a fixed port."""
     frontend = BatchingFrontend(engine)
 
     class Handler(BaseHTTPRequestHandler):
@@ -341,7 +419,17 @@ def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, "device": str(jax.devices()[0]), "batch": engine.batch})
+                payload = {"ok": True, "device": str(jax.devices()[0]), "batch": engine.batch}
+                if hasattr(engine, "buckets"):
+                    payload["buckets"] = list(engine.buckets)
+                self._json(200, payload)
+            elif self.path == "/metrics":
+                body = frontend.metrics.render(queue_depth=frontend._q.qsize()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -384,6 +472,11 @@ def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
             except Exception as e:  # serving layer: report, don't crash
                 self._json(500, {"error": str(e)})
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"serving on http://{host}:{port} (batch={engine.batch})")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
+    """Blocking HTTP server around a SamplerEngine (queued + coalescing)."""
+    httpd = make_server(engine, host, port)
+    print(f"serving on http://{host}:{httpd.server_address[1]} (batch={engine.batch})")
     httpd.serve_forever()

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from hdmoe_tpu.models import precond_init
-from hdmoe_tpu.serve import SamplerEngine, serve
+from hdmoe_tpu.serve import SamplerEngine
 from tests.test_model import tiny_cfg
 
 
@@ -72,8 +72,13 @@ def test_batching_frontend_concurrent_clients(engine):
 
 
 def test_http_server_end_to_end(engine):
-    port = 8991
-    t = threading.Thread(target=serve, args=(engine,), kwargs={"port": port}, daemon=True)
+    # port 0: the OS assigns a free port, so a concurrently running pytest
+    # process (or stale server) can never answer this test's requests
+    from hdmoe_tpu.serve import make_server
+
+    httpd = make_server(engine, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     time.sleep(0.5)
 
@@ -108,6 +113,53 @@ def test_http_server_end_to_end(engine):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "prompts" in json.loads(e.read())["error"]
+
+    # /metrics: Prometheus text format reflecting the request above
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        metrics = r.read().decode()
+    assert "hdmoe_requests_total 1" in metrics
+    assert "hdmoe_images_total 1" in metrics
+    assert "hdmoe_errors_total 0" in metrics
+    assert 'hdmoe_request_latency_seconds{quantile="0.5"}' in metrics
+    httpd.shutdown()
+
+
+def test_serve_metrics_counters_and_buckets(engine):
+    """ServeMetrics counts requests/images/errors/runs, tracks latency
+    quantiles over a bounded window, and attributes runs to the bucket a
+    BucketedEngine picked."""
+    from hdmoe_tpu.serve import BatchingFrontend, ServeMetrics
+
+    fe = BatchingFrontend(engine)
+    fe.submit(["a", "b"], seed=0)
+    fe.submit(["c"], seed=1)
+    m = fe.metrics
+    assert m.requests_total == 2 and m.images_total == 3 and m.errors_total == 0
+    assert m.runs_total >= 1  # coalescing may merge the two
+    text = m.render(queue_depth=0)
+    assert "hdmoe_images_total 3" in text
+    assert "hdmoe_request_latency_seconds_count 2" in text
+    assert "hdmoe_queue_depth 0" in text
+
+    # errors are counted, not hidden: a failing engine surfaces the
+    # exception to the caller AND increments errors_total
+    class Boom:
+        batch = 2
+
+        def sample_coalesced(self, reqs):
+            raise RuntimeError("boom")
+
+    fe2 = BatchingFrontend(Boom())
+    with pytest.raises(RuntimeError, match="boom"):
+        fe2.submit(["x"], seed=0)
+    assert fe2.metrics.errors_total == 1 and fe2.metrics.images_total == 0
+
+    # bucket attribution rides engine.last_bucket when present
+    m3 = ServeMetrics()
+    m3.record_run(2), m3.record_run(2), m3.record_run(4)
+    assert 'hdmoe_bucket_runs_total{bucket="2"} 2' in m3.render()
+    assert 'hdmoe_bucket_runs_total{bucket="4"} 1' in m3.render()
 
 
 def test_dp_sharded_engine_matches_single_device():

@@ -38,6 +38,8 @@ def _cmd_train(args):
         overrides["dataset"] = args.dataset
     if args.steps_per_call:
         overrides["steps_per_call"] = args.steps_per_call
+    if args.grad_accum:
+        overrides["grad_accum"] = args.grad_accum
     if args.augment is not None:
         from hdmoe_tpu.train.augment import AugmentConfig
 
@@ -236,6 +238,35 @@ def _cmd_export(args):
           f"{meta['platforms']} batch={meta['batch']} steps={meta['num_steps']}")
 
 
+def _cmd_import(args):
+    from hdmoe_tpu.adapters.port import import_reference_checkpoint
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    import jax
+    import jax.numpy as jnp
+
+    params, cfg, meta = import_reference_checkpoint(
+        args.checkpoint, variant=args.variant
+    )
+    # Fresh optimizer state: the reference's Adam moments are keyed to its
+    # torch param layout and aren't portable; training resumes warm on the
+    # weights, cold on the moments.
+    state = init_train_state(params, OptimConfig())
+    state = state._replace(step=jnp.asarray(meta["step"], jnp.int32))
+    CheckpointManager(args.out).save(
+        state, jax.random.PRNGKey(args.seed), mse=meta["mse"],
+        configs={**meta["config"], "variant": meta["variant"]},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(
+        f"imported {args.checkpoint} ({meta['variant']}, step {meta['step']}, "
+        f"{n:,} params) -> {args.out}\n"
+        f"sample with: python -m hdmoe_tpu sample --checkpoint {args.out}"
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hdmoe_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -258,6 +289,10 @@ def main(argv=None):
     p_train.add_argument("--steps-per-call", type=int, default=0,
                          help="K optimizer steps per device dispatch "
                               "(single-device; amortizes dispatch/transfer)")
+    p_train.add_argument("--grad-accum", type=int, default=0,
+                         help="average gradients over N microbatches per "
+                              "optimizer step (effective batch N*batch_size "
+                              "at one microbatch's memory)")
     p_train.set_defaults(fn=_cmd_train)
 
     p_sample = sub.add_parser("sample", help="sample from a checkpoint")
@@ -283,6 +318,19 @@ def main(argv=None):
     p_plot.add_argument("run_name")
     p_plot.add_argument("--out", default="analysis_results")
     p_plot.set_defaults(fn=_cmd_plot)
+
+    p_import = sub.add_parser(
+        "import-checkpoint",
+        help="convert a reference torch checkpoint (save_checkpoint .pt) "
+             "into an orbax checkpoint this framework trains/samples from",
+    )
+    p_import.add_argument("checkpoint", help="path to the reference .pt file")
+    p_import.add_argument("--out", default="./checkpoints/imported")
+    p_import.add_argument("--variant", default="config1",
+                          help="reference model class if ambiguous "
+                               "(config1 checkpoints self-identify)")
+    p_import.add_argument("--seed", type=int, default=0)
+    p_import.set_defaults(fn=_cmd_import)
 
     p_smoke = sub.add_parser("smoke", help="hermetic end-to-end smoke run")
     p_smoke.add_argument("--steps", type=int, default=5)

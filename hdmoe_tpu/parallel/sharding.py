@@ -29,9 +29,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int = 4, axis: int = 0) -> NamedSharding:
+    """Shard the batch dim (``axis``, default leading) over the data axis.
+
+    ``axis=1`` covers microbatch stacks ``(accum, B, H, W, C)`` — the stack
+    axis is a scan axis, never sharded; only the per-microbatch batch is."""
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
 def _leaf_spec(path, leaf, model_size: int, expert_size: int) -> P:
@@ -98,7 +103,10 @@ def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
     """
 
     def wrapped(state, latents, text_emb, key):
-        latents = jax.lax.with_sharding_constraint(latents, batch_sharding(mesh, latents.ndim))
+        # latents are (B, H, W, C) or a microbatch stack (accum, B, H, W, C);
+        # either way the batch axis sits 4 dims from the end.
+        latents = jax.lax.with_sharding_constraint(
+            latents, batch_sharding(mesh, latents.ndim, axis=latents.ndim - 4))
         if text_emb is not None:
             text_emb = jax.lax.with_sharding_constraint(text_emb, batch_sharding(mesh, text_emb.ndim))
         return train_step(state, latents, text_emb, key)

@@ -89,6 +89,13 @@ class RunConfig:
     # encode (train/augment.py). None = off (reference-faithful stream:
     # enabling augmentation re-splits the encode key).
     augment: Optional["AugmentConfig"] = None
+    # Gradient accumulation (train_step.make_train_step_accum): each
+    # optimizer step averages gradients over this many microbatches of
+    # ``batch_size`` — effective batch ``grad_accum * batch_size`` with one
+    # microbatch's memory. Mutually exclusive with steps_per_call > 1 and
+    # dataset="synthetic-device" (those amortize dispatch, this amortizes
+    # memory; composing them has no use case worth the lattice math).
+    grad_accum: int = 1
 
 
 def training_hdmoe(
@@ -162,12 +169,11 @@ def training_hdmoe(
         state, key, _ = ckpt.restore(state, key)
         print(f"[resume] restored step {int(state.step)} from {run.save_dir}")
 
-    step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
-                              unet_mask_gen, vit_mask_gen, zeta_sched)
     data_target = None  # where host batches land (single device or mesh-sharded)
     import contextlib
 
     trace_ctx = contextlib.ExitStack()  # mesh contexts live through tracing
+    mesh = None
     if run.mesh is not None:
         from hdmoe_tpu.parallel.sharding import batch_sharding
 
@@ -183,8 +189,34 @@ def training_hdmoe(
 
             trace_ctx.enter_context(ring_attention_context(mesh, "data"))
         state = shard_train_state(state, mesh)
+
+    accum = max(1, int(run.grad_accum))
+    if accum > 1:
+        if int(run.steps_per_call) > 1:
+            raise ValueError("grad_accum > 1 and steps_per_call > 1 are mutually "
+                             "exclusive (dispatch vs memory amortization)")
+        if run.dataset == "synthetic-device":
+            raise ValueError("grad_accum > 1 needs host-fed microbatches; "
+                             "dataset='synthetic-device' generates in-program")
+        from hdmoe_tpu.train.train_step import make_train_step_accum
+
+        constrain = None
+        if mesh is not None:
+            constrain = lambda lat: jax.lax.with_sharding_constraint(  # noqa: E731
+                lat, batch_sharding(mesh, lat.ndim))
+        step_fn = make_train_step_accum(model_cfg, loss_cfg, optim_cfg, train_cfg,
+                                        unet_mask_gen, vit_mask_gen, zeta_sched,
+                                        accum=accum, constrain=constrain)
+    else:
+        step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
+                                  unet_mask_gen, vit_mask_gen, zeta_sched)
+
+    if mesh is not None:
         jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
-        data_target = batch_sharding(mesh, 4)
+        # pixels arrive as (B, H, W, C), or (accum, B, H, W, C) stacks when
+        # accumulating — the batch axis is 4 dims from the end either way
+        data_target = batch_sharding(mesh, 4 if accum == 1 else 5,
+                                     axis=0 if accum == 1 else 1)
         if text_emb is not None:
             text_emb = jax.device_put(text_emb, batch_sharding(mesh, text_emb.ndim))
     else:
@@ -268,15 +300,19 @@ def training_hdmoe(
     if device_gen:
         data_it = None
     else:
-        batches = batch_iterator(dataset, run.batch_size, seed=run.seed, start_batch=start_step)
-        if k_call > 1:
+        # each optimizer step consumes `accum` microbatches (k_call steps
+        # per dispatch consume one batch each) — fast-forward accordingly
+        batches = batch_iterator(dataset, run.batch_size, seed=run.seed,
+                                 start_batch=start_step * accum)
+        group = k_call if k_call > 1 else accum
+        if group > 1:
             import numpy as _np
 
             def _grouped(it, k):
                 while True:
                     yield _np.stack([next(it) for _ in range(k)])
 
-            batches = _grouped(batches, k_call)
+            batches = _grouped(batches, group)
         data_it = prefetch_to_device(batches, size=4, device=data_target)
     for step in range(start_step, run.total_steps, k_call):
         key, k_enc, k_step = jax.random.split(key, 3)
@@ -284,8 +320,8 @@ def training_hdmoe(
             state, metrics, aux = jit_step(state, k_step)
         else:
             pixels = next(data_it)
-            if k_call > 1:
-                # one encode dispatch for the whole (K, B, ...) block
+            if pixels.ndim == 5:  # (K|accum, B, ...) stack
+                # one encode dispatch for the whole block
                 flat = pixels.reshape(pixels.shape[0] * pixels.shape[1], *pixels.shape[2:])
                 latents = encode(flat, k_enc)
                 latents = latents.reshape(pixels.shape[0], pixels.shape[1], *latents.shape[1:])
@@ -322,7 +358,7 @@ def training_hdmoe(
             current_mse = float(metrics["denoising"])
 
         if step % run.print_interval < k_call:
-            ips = timer.images_per_sec(run.batch_size * k_call)
+            ips = timer.images_per_sec(run.batch_size * k_call * accum)
             print(
                 f"Step {step}/{run.total_steps} | loss {float(metrics['loss']):.4f} | "
                 f"MSE {current_mse:.4f} | z {float(metrics['z_loss']):.4f} | "

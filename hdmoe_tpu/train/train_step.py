@@ -71,6 +71,70 @@ def _component_grad_norms(grads) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def _make_grads_fn(
+    model_cfg: HDMOEMConfig,
+    loss_cfg: EDMLossConfig,
+    train_cfg: TrainConfig,
+    unet_mask_gen: MaskGenerator,
+    vit_mask_gen: MaskGenerator,
+    zeta_sched: ZetaSchedule,
+):
+    """The per-batch gradient computation shared by the plain step and the
+    gradient-accumulation step: sigma draw, noising, schedules, forward,
+    loss, backward — everything up to (but not including) the optimizer.
+
+    grads_fn(params, step, latents, text_emb, key) ->
+        (grads, metrics dict, aux dict)
+    """
+
+    def grads_fn(params, step, latents, text_emb, key):
+        b = latents.shape[0]
+        k_sigma, k_noise, k_model = jax.random.split(key, 3)
+        sigma = sample_sigma_hybrid(
+            k_sigma, b,
+            sigma_min=train_cfg.sigma_min, sigma_max=train_cfg.sigma_max,
+            p_mean=train_cfg.p_mean, p_std=train_cfg.p_std,
+            extreme_prob=train_cfg.extreme_prob,
+        )
+        noise = jax.random.normal(k_noise, latents.shape) * sigma
+        x_noised = latents + noise
+        zeta = zeta_sched(step)
+        unet_mask = unet_mask_gen(sigma, step)
+        vit_mask = vit_mask_gen(sigma, step)
+
+        def loss_fn(params):
+            out = precond_apply(
+                params, model_cfg, x_noised, sigma, text_emb, unet_mask, vit_mask, zeta,
+                transition_point=train_cfg.transition_point, softness=train_cfg.softness,
+                return_log_var=True, train=True, key=k_model,
+            )
+            ld = edm_loss(loss_cfg, latents, sigma, out)
+            return ld["loss"], (ld, out)
+
+        (_, (loss_dict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        metrics = dict(loss_dict)
+        metrics["zeta"] = jnp.asarray(zeta)
+        metrics["log_var"] = (
+            out["log_var"].mean() if out["log_var"] is not None else jnp.asarray(0.0)
+        )
+        metrics["sigma_mean"] = sigma.mean()
+        metrics["sigma_min"] = sigma.min()
+        metrics["sigma_max"] = sigma.max()
+        metrics["sigma_std"] = sigma.reshape(-1).std()
+
+        aux = {
+            "unet_probs": out["Unet_router_loss"],
+            "vit_probs": out["vit_router_loss"],
+            "scaling_factors": out["scaling_net_out"],
+            "out_gate": out["out_gate"].mean(axis=(1, 2)),  # (B, 2) pixel-gate means
+            "sigma": sigma.reshape(-1),
+        }
+        return grads, metrics, aux
+
+    return grads_fn
+
+
 def make_train_step(
     model_cfg: HDMOEMConfig,
     loss_cfg: EDMLossConfig,
@@ -86,6 +150,9 @@ def make_train_step(
         (new_state, metrics dict, model aux dict for router/gating logging)
     """
     tx = make_optimizer(optim_cfg)
+    grads_fn = _make_grads_fn(
+        model_cfg, loss_cfg, train_cfg, unet_mask_gen, vit_mask_gen, zeta_sched
+    )
 
     def train_step(
         state: TrainState,
@@ -93,54 +160,107 @@ def make_train_step(
         text_emb: Optional[jnp.ndarray],
         key: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-        b = latents.shape[0]
-        k_sigma, k_noise, k_model = jax.random.split(key, 3)
-        sigma = sample_sigma_hybrid(
-            k_sigma, b,
-            sigma_min=train_cfg.sigma_min, sigma_max=train_cfg.sigma_max,
-            p_mean=train_cfg.p_mean, p_std=train_cfg.p_std,
-            extreme_prob=train_cfg.extreme_prob,
+        grads, metrics, aux = grads_fn(state.params, state.step, latents, text_emb, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = project_mp_weights(params)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics["grad_norm_total"] = optax.global_norm(grads)
+        metrics.update(_component_grad_norms(grads))
+        return new_state, metrics, aux
+
+    return train_step
+
+
+def make_train_step_accum(
+    model_cfg: HDMOEMConfig,
+    loss_cfg: EDMLossConfig,
+    optim_cfg: OptimConfig,
+    train_cfg: TrainConfig,
+    unet_mask_gen: MaskGenerator,
+    vit_mask_gen: MaskGenerator,
+    zeta_sched: ZetaSchedule,
+    accum: int,
+    constrain=None,
+):
+    """Gradient accumulation: ONE optimizer update from ``accum``
+    microbatches, gradients averaged — the effective batch is
+    ``accum * B`` with the memory footprint of one microbatch.
+
+    The reference has no analog (single-GPU, fixed batch); this is the
+    standard large-effective-batch recipe, TPU-shaped: a ``lax.scan`` over
+    the microbatch axis keeps one gradient buffer live (vs ``vmap``, which
+    would materialize all ``accum`` backward passes), and XLA keeps the
+    whole thing one program — no host round-trips between microbatches.
+
+    Semantics pinned by tests/test_grad_accum.py: returned gradients equal
+    the arithmetic mean of per-microbatch gradients (== the gradient of the
+    mean of per-microbatch losses). Note batch-statistics losses (router
+    balance) are computed per microbatch and averaged, which is NOT
+    identical to one big-batch pass — same trade every torch/DDP
+    accumulation makes. Every microbatch draws its own sigma/noise/mask,
+    so the sigma distribution matches ``accum`` independent steps.
+
+    step(state, latents(A, B, H, W, C), text_emb|None, key) ->
+        (new_state(+1 step), metrics averaged over microbatches
+         (sigma_min/max are extrema), aux of the LAST microbatch)
+
+    ``constrain(latents_b) -> latents_b`` (optional) attaches the mesh
+    batch-sharding constraint inside the scan body (axis 0 of a microbatch
+    is the batch dim — the (A, B, ...) stack itself is never sharded).
+    """
+    from jax import lax
+
+    tx = make_optimizer(optim_cfg)
+    grads_fn = _make_grads_fn(
+        model_cfg, loss_cfg, train_cfg, unet_mask_gen, vit_mask_gen, zeta_sched
+    )
+    assert accum >= 1
+
+    def train_step(
+        state: TrainState,
+        latents_a: jnp.ndarray,
+        text_emb: Optional[jnp.ndarray],
+        key: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        assert latents_a.ndim == 5 and latents_a.shape[0] == accum, (
+            f"expected (accum={accum}, B, H, W, C) microbatch stack, got "
+            f"{latents_a.shape}"
         )
-        noise = jax.random.normal(k_noise, latents.shape) * sigma
-        x_noised = latents + noise
-        zeta = zeta_sched(state.step)
-        unet_mask = unet_mask_gen(sigma, state.step)
-        vit_mask = vit_mask_gen(sigma, state.step)
+        keys = jax.random.split(key, accum)
 
-        def loss_fn(params):
-            out = precond_apply(
-                params, model_cfg, x_noised, sigma, text_emb, unet_mask, vit_mask, zeta,
-                transition_point=train_cfg.transition_point, softness=train_cfg.softness,
-                return_log_var=True, train=True, key=k_model,
-            )
-            ld = edm_loss(loss_cfg, latents, sigma, out)
-            return ld["loss"], (ld, out)
+        def body(carry, inp):
+            grad_sum, _ = carry
+            lat, kk = inp
+            if constrain is not None:
+                lat = constrain(lat)
+            grads, metrics, aux = grads_fn(state.params, state.step, lat, text_emb, kk)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (grad_sum, aux), metrics
 
-        (_, (loss_dict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # aux carry template: one microbatch's aux structure (zeros; the
+        # scan overwrites it every iteration, the last one survives)
+        aux0 = jax.eval_shape(
+            lambda: grads_fn(state.params, state.step, latents_a[0], text_emb, keys[0])[2]
+        )
+        aux0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+
+        (grad_sum, aux), metrics_a = lax.scan(body, (zero_grads, aux0), (latents_a, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = project_mp_weights(params)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
 
-        metrics = dict(loss_dict)
-        metrics["zeta"] = jnp.asarray(zeta)
-        metrics["log_var"] = (
-            out["log_var"].mean() if out["log_var"] is not None else jnp.asarray(0.0)
-        )
-        metrics["sigma_mean"] = sigma.mean()
-        metrics["sigma_min"] = sigma.min()
-        metrics["sigma_max"] = sigma.max()
-        metrics["sigma_std"] = sigma.reshape(-1).std()
+        metrics = {
+            k: (v.max(0) if k == "sigma_max" else v.min(0) if k == "sigma_min"
+                else v.mean(0))
+            for k, v in metrics_a.items()
+        }
         metrics["grad_norm_total"] = optax.global_norm(grads)
         metrics.update(_component_grad_norms(grads))
-
-        aux = {
-            "unet_probs": out["Unet_router_loss"],
-            "vit_probs": out["vit_router_loss"],
-            "scaling_factors": out["scaling_net_out"],
-            "out_gate": out["out_gate"].mean(axis=(1, 2)),  # (B, 2) pixel-gate means
-            "sigma": sigma.reshape(-1),
-        }
         return new_state, metrics, aux
 
     return train_step

@@ -18,6 +18,14 @@ import sys
 
 
 def _cmd_train(args):
+    import os
+
+    if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # must run before any jax computation creates the backend
+        from hdmoe_tpu.parallel.multihost import initialize
+
+        pid, nproc = initialize()
+        print(f"[multihost] process {pid}/{nproc}")
     from hdmoe_tpu.train import presets
     from hdmoe_tpu.train.configs import zeta_configs
     from hdmoe_tpu.train.train_loop import training_hdmoe
@@ -293,6 +301,12 @@ def main(argv=None):
                          help="average gradients over N microbatches per "
                               "optimizer step (effective batch N*batch_size "
                               "at one microbatch's memory)")
+    p_train.add_argument("--multihost", action="store_true",
+                         help="initialize jax.distributed from the environment "
+                              "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                              "JAX_PROCESS_ID, or TPU-pod auto-detection) and "
+                              "feed each process only its slice of the global "
+                              "batch (parallel/multihost.py)")
     p_train.set_defaults(fn=_cmd_train)
 
     p_sample = sub.add_parser("sample", help="sample from a checkpoint")

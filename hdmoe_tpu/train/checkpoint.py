@@ -41,11 +41,19 @@ def _jsonable(cfg: Any) -> Any:
 
 
 class CheckpointManager:
-    """Orbax-backed save/restore of the full train state."""
+    """Orbax-backed save/restore of the full train state.
 
-    def __init__(self, save_dir: str, max_to_keep: int = 3):
+    ``async_save=True`` overlaps the disk write with training: orbax's save
+    blocks only on the device→host transfer (so donated buffers are safe to
+    reuse immediately) and streams to disk in a background thread. The next
+    ``save``/``restore``/``close`` synchronizes with any in-flight write, so
+    at most one write is outstanding and reads never race a partial one.
+    """
+
+    def __init__(self, save_dir: str, max_to_keep: int = 3, async_save: bool = False):
         self.save_dir = Path(save_dir).absolute()
         self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.save_dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
@@ -66,8 +74,10 @@ class CheckpointManager:
             "rng_key": np.asarray(_key_data(key)),
             "mse": np.asarray(mse, dtype=np.float64),
         }
+        self._mgr.wait_until_finished()  # at most one in-flight write
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         if configs is not None:
             with open(self.save_dir / f"config_{step}.json", "w") as f:
                 json.dump(_jsonable(configs), f, indent=2, default=str)
@@ -83,6 +93,7 @@ class CheckpointManager:
         ``abstract_state`` provides the tree structure/shapes (e.g. a freshly
         initialized state). ``step=None`` restores the latest checkpoint.
         """
+        self._mgr.wait_until_finished()  # never read a partial async write
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.save_dir}")
@@ -102,4 +113,5 @@ class CheckpointManager:
         return state, jax.numpy.asarray(restored["rng_key"]), float(restored["mse"])
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -220,6 +220,7 @@ def batch_iterator(
     seed: int = 0,
     shuffle: bool = True,
     start_batch: int = 0,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Iterator[np.ndarray]:
     """Infinite epoch-shuffled uint8 NHWC batch stream (drop-last).
 
@@ -228,7 +229,19 @@ def batch_iterator(
     NOT yet seen instead of replaying epoch 0 (round-1 review finding).
     Skipped batches are never materialized — only the epoch permutations are
     regenerated, so fast-forward is O(epochs) cheap RNG work.
+
+    ``shard=(process_index, process_count)`` is the multi-host contract
+    (parallel/multihost.py): ``batch_size`` stays the GLOBAL batch, the
+    permutation stays seed-deterministic and identical on every process, and
+    each process materializes only its contiguous row-slice — slices from
+    all processes concatenate (in process order) to exactly the unsharded
+    stream's batch, which is what make_array_from_process_local_data
+    reassembles.
     """
+    if shard is not None:
+        pid, nproc = shard
+        if batch_size % nproc:
+            raise ValueError(f"global batch {batch_size} must divide process count {nproc}")
     rng = np.random.RandomState(seed)
     n = len(dataset)
     per_epoch = len(range(0, n - batch_size + 1, batch_size))
@@ -242,6 +255,9 @@ def batch_iterator(
             if b < skip:
                 continue
             idx = order[start : start + batch_size]
+            if shard is not None:
+                local = batch_size // nproc
+                idx = idx[pid * local : (pid + 1) * local]
             if hasattr(dataset, "get_batch"):
                 yield dataset.get_batch(idx)
             else:
@@ -252,19 +268,28 @@ def batch_iterator(
 def prefetch_to_device(it: Iterator[np.ndarray], size: int = 2, device=None) -> Iterator[jax.Array]:
     """Background-thread prefetch + H2D transfer (double buffering).
 
+    ``device`` may be a Device, a Sharding, or a CALLABLE batch->jax.Array —
+    the callable form covers multi-host assembly
+    (multihost.host_local_to_global), where placement is not a plain
+    device_put.
+
     Worker exceptions propagate to the consumer (re-raised from the main
     thread) rather than silently truncating the stream — the failure-recovery
     supervisor (train/resilient.py) depends on seeing the real error.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
-    dev = device or jax.devices()[0]
+    if callable(device) and not hasattr(device, "device_kind"):
+        put = device
+    else:
+        dev = device or jax.devices()[0]
+        put = lambda batch: jax.device_put(batch, dev)  # noqa: E731
     stop = object()
     failure = []
 
     def worker():
         try:
             for batch in it:
-                q.put(jax.device_put(batch, dev))
+                q.put(put(batch))
         except BaseException as e:  # noqa: BLE001 — handed to the consumer
             failure.append(e)
         finally:

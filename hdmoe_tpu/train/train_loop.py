@@ -96,6 +96,11 @@ class RunConfig:
     # dataset="synthetic-device" (those amortize dispatch, this amortizes
     # memory; composing them has no use case worth the lattice math).
     grad_accum: int = 1
+    # Async checkpointing: save() blocks only on the device->host transfer
+    # and streams to disk in a background thread, overlapping the write with
+    # the next save_interval of training. At most one write is in flight;
+    # restore/close synchronize with it (train/checkpoint.py).
+    async_checkpoint: bool = True
 
 
 def training_hdmoe(
@@ -164,7 +169,7 @@ def training_hdmoe(
     params = jax.jit(lambda k: precond_init(k, model_cfg))(k_init)
     state = init_train_state(params, optim_cfg)
 
-    ckpt = CheckpointManager(run.save_dir)
+    ckpt = CheckpointManager(run.save_dir, async_save=run.async_checkpoint)
     if run.resume and ckpt.latest_step() is not None:
         state, key, _ = ckpt.restore(state, key)
         print(f"[resume] restored step {int(state.step)} from {run.save_dir}")
@@ -211,14 +216,32 @@ def training_hdmoe(
         step_fn = make_train_step(model_cfg, loss_cfg, optim_cfg, train_cfg,
                                   unet_mask_gen, vit_mask_gen, zeta_sched)
 
+    n_proc = jax.process_count()
     if mesh is not None:
         jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
         # pixels arrive as (B, H, W, C), or (accum, B, H, W, C) stacks when
         # accumulating — the batch axis is 4 dims from the end either way
-        data_target = batch_sharding(mesh, 4 if accum == 1 else 5,
-                                     axis=0 if accum == 1 else 1)
-        if text_emb is not None:
-            text_emb = jax.device_put(text_emb, batch_sharding(mesh, text_emb.ndim))
+        batch_ax = 0 if accum == 1 else 1
+        if n_proc > 1:
+            # multi-host: each process feeds only its row-slice of the
+            # global batch (parallel/multihost.py); the callable assembles
+            # the single global jax.Array the SPMD step consumes.
+            from hdmoe_tpu.parallel.multihost import host_local_to_global
+
+            data_target = lambda b: host_local_to_global(  # noqa: E731
+                b, mesh, batch_axis=batch_ax)
+            if text_emb is not None:
+                import numpy as _np
+
+                pid, local = jax.process_index(), run.batch_size // n_proc
+                text_emb = host_local_to_global(
+                    _np.asarray(text_emb[pid * local:(pid + 1) * local]), mesh)
+        else:
+            data_target = batch_sharding(mesh, 4 if accum == 1 else 5, axis=batch_ax)
+            if text_emb is not None:
+                text_emb = jax.device_put(text_emb, batch_sharding(mesh, text_emb.ndim))
+    elif n_proc > 1:
+        raise ValueError("multi-host training needs run.mesh (a global device mesh)")
     else:
         jit_step = jax.jit(step_fn, donate_argnums=0)
 
@@ -301,9 +324,12 @@ def training_hdmoe(
         data_it = None
     else:
         # each optimizer step consumes `accum` microbatches (k_call steps
-        # per dispatch consume one batch each) — fast-forward accordingly
+        # per dispatch consume one batch each) — fast-forward accordingly.
+        # Multi-host: every process walks the SAME seed-deterministic stream
+        # but materializes only its row-slice (data.py batch_iterator shard).
         batches = batch_iterator(dataset, run.batch_size, seed=run.seed,
-                                 start_batch=start_step * accum)
+                                 start_batch=start_step * accum,
+                                 shard=(jax.process_index(), n_proc) if n_proc > 1 else None)
         group = k_call if k_call > 1 else accum
         if group > 1:
             import numpy as _np

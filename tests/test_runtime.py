@@ -276,6 +276,38 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """async_save=True: save() returns with the write possibly in flight;
+    donating/overwriting the source buffers immediately after must not
+    corrupt the checkpoint, and restore() synchronizes with the write.
+    Back-to-back saves (one in-flight write max) retain both steps."""
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+    from hdmoe_tpu.models import precond_init
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    state = init_train_state(precond_init(KEY, cfg), OptimConfig())
+    state = state._replace(step=jnp.asarray(3, jnp.int32))
+    expect = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    mgr.save(state, jax.random.PRNGKey(1), mse=0.1)
+    # clobber the live params while the write may still be streaming
+    state = jax.tree_util.tree_map(lambda x: x * 0.0, state)
+    mgr.save(state._replace(step=jnp.asarray(4, jnp.int32)), jax.random.PRNGKey(2), mse=0.2)
+
+    fresh = init_train_state(precond_init(jax.random.PRNGKey(9), cfg), OptimConfig())
+    restored, _, mse = mgr.restore(fresh, jax.random.PRNGKey(0), step=3)
+    assert int(restored.step) == 3 and mse == pytest.approx(0.1)
+    for x, y in zip(expect, jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(x, np.asarray(y))
+    restored4, _, _ = mgr.restore(fresh, jax.random.PRNGKey(0), step=4)
+    assert float(jax.tree_util.tree_leaves(restored4.params)[0].sum()) == 0.0
+    mgr.close()
+
+
 # ---------------------------------------------------------------------------
 # Generation entry
 # ---------------------------------------------------------------------------

@@ -48,6 +48,8 @@ def _cmd_train(args):
         overrides["steps_per_call"] = args.steps_per_call
     if args.grad_accum:
         overrides["grad_accum"] = args.grad_accum
+    if args.eval_interval:
+        overrides["eval_interval"] = args.eval_interval
     if args.augment is not None:
         from hdmoe_tpu.train.augment import AugmentConfig
 
@@ -301,6 +303,10 @@ def main(argv=None):
                          help="average gradients over N microbatches per "
                               "optimizer step (effective batch N*batch_size "
                               "at one microbatch's memory)")
+    p_train.add_argument("--eval-interval", type=int, default=0,
+                         help="score the live (EMA when tracked) weights with "
+                              "a small streaming FID + sample grid every N "
+                              "steps (train/evalhook.py; eval JSONL stream)")
     p_train.add_argument("--multihost", action="store_true",
                          help="initialize jax.distributed from the environment "
                               "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "

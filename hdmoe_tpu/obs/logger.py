@@ -76,7 +76,15 @@ class Logger:
         self.router_log_file = self.log_dir / f"{run_name}_router_stats.jsonl"
         self.gradient_log_file = self.log_dir / f"{run_name}_gradients.jsonl"
         self.weight_log_file = self.log_dir / f"{run_name}_weights.jsonl"
+        self.eval_log_file = self.log_dir / f"{run_name}_eval.jsonl"
         self._acc: Dict[str, list] = defaultdict(list)
+
+    # -- eval stream (in-training sample quality; no reference analog) -------
+
+    def log_eval(self, step: int, record: Dict[str, Any]) -> None:
+        """One un-averaged record per eval point (train/evalhook.py): FID,
+        sample count, tower label, wall seconds."""
+        self._write(self.eval_log_file, {"step": step, **record})
 
     # -- main training stream ------------------------------------------------
 

@@ -247,9 +247,37 @@ class Plotter:
         plt.close(fig)
         return out
 
+    def plot_eval_trend(self) -> Optional[Path]:
+        """In-training sample quality vs optimizer step, from the eval
+        stream (train/evalhook.py writes ``<run>_eval.jsonl`` when
+        RunConfig.eval_interval > 0). No reference analog — the reference
+        cannot see quality until training ends."""
+        recs = [r for r in self._stream("eval") if "fid" in r and "step" in r]
+        if not recs:
+            return None
+        recs = sorted(recs, key=lambda r: r["step"])
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for ema in sorted({bool(r.get("ema")) for r in recs}):
+            rs = [r for r in recs if bool(r.get("ema")) == ema]
+            ax.plot([r["step"] for r in rs], [r["fid"] for r in rs], "o-",
+                    lw=1.5, label="EMA weights" if ema else "raw weights")
+        ax.legend()
+        tower = recs[-1].get("tower", "")
+        n = recs[-1].get("n", "")
+        ax.set_xlabel("optimizer step")
+        ax.set_ylabel(f"FID@{n}{f' ({tower})' if tower else ''}")
+        ax.set_title("Sample quality during training")
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        out = self.out_dir / "06_eval_trend.png"
+        fig.savefig(out, dpi=110)
+        plt.close(fig)
+        return out
+
     def plot_all(self, router_probe=None) -> List[Path]:
         outs = [self.plot_training_dynamics(), self.plot_scaling_gating(),
-                self.plot_gradient_flow(), self.plot_fid_vs_nfe()]
+                self.plot_gradient_flow(), self.plot_fid_vs_nfe(),
+                self.plot_eval_trend()]
         if router_probe is not None:
             outs.append(self.plot_expert_specialization(router_probe))
         return [o for o in outs if o is not None]

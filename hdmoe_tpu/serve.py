@@ -154,6 +154,24 @@ class SamplerEngine:
         self._has_text = text_shape is not None
         self._text_placeholder = jnp.zeros((1,), jnp.float32)
 
+    def update_params(self, params) -> None:
+        """Swap new (unfolded) weights into the SAME AOT executable — params
+        are an input of the compiled program, so no retrace/recompile. Used
+        by the in-training evaluator (train/evalhook.py) to score the live
+        training state every eval_interval."""
+        if not hasattr(self, "_project_jit"):
+            self._project_jit = jax.jit(project_mp_weights)
+        p = self._project_jit(params)
+        if self.quantize == "int8":
+            from hdmoe_tpu.ops.quant import quantize_tree_int8
+
+            p = quantize_tree_int8(p)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            p = jax.device_put(p, NamedSharding(self.mesh, P()))
+        self.params = p
+
     def _sample(self, *args):
         """(noise, text?, key) -> latents through the AOT executable."""
         if self._has_text:

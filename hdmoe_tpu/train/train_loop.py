@@ -19,6 +19,7 @@ optimizer group AttributeError and the silently-untrained parameter groups
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
@@ -101,6 +102,17 @@ class RunConfig:
     # the next save_interval of training. At most one write is in flight;
     # restore/close synchronize with it (train/checkpoint.py).
     async_checkpoint: bool = True
+    # In-training sample-quality evaluation (train/evalhook.py): every N
+    # steps, swap the live (EMA when tracked) weights into one lazily
+    # AOT-compiled small-batch sampler, stream eval_n images through the
+    # FID harness vs the training dataset, write a grid PNG + an eval-stream
+    # JSONL record. 0 = off. A trend probe (random-conv tower, small n) —
+    # the 50k harness stays the number of record.
+    eval_interval: int = 0
+    eval_n: int = 64
+    eval_num_steps: int = 18
+    eval_solver: str = "heun"
+    eval_use_ema: bool = True
 
 
 def training_hdmoe(
@@ -298,6 +310,7 @@ def training_hdmoe(
                     # fetch/print/save gates below use `< k_call`
                     step_stride=max(1, run.steps_per_call))
     timer = StepTimer()
+    evaluator = None  # lazily built at the first eval point (eval_interval)
     ema = None
     if run.ema_decay > 0.0:
         from hdmoe_tpu.train.ema import EmaTracker
@@ -394,6 +407,22 @@ def training_hdmoe(
             )
         if run.save_interval and step > 0 and step % run.save_interval < k_call:
             ckpt.save(state, key, mse=current_mse, configs=configs_blob)
+        if run.eval_interval and step > 0 and step % run.eval_interval < k_call:
+            if evaluator is None:
+                from hdmoe_tpu.train.evalhook import TrainEvaluator
+
+                evaluator = TrainEvaluator(
+                    model_cfg, dataset, os.path.join(run.log_dir, run.run_name + "_eval"),
+                    n=run.eval_n, num_steps=run.eval_num_steps, solver=run.eval_solver,
+                    vae_kind=run.vae, text_kind=run.text_encoder,
+                    prompt=run.fixed_prompt, seed=run.seed,
+                    gather=mesh is not None, logger=logger,
+                )
+            use_ema = run.eval_use_ema and ema is not None
+            rec = evaluator(ema.ema_params if use_ema else state.params,
+                            step_done, ema=use_ema)
+            print(f"[eval] step {step_done} FID@{rec['n']}={rec['fid']} "
+                  f"({rec['tower']}{', ema' if use_ema else ''}) {rec['wall_s']}s")
 
     trace_ctx.close()
     ckpt.save(state, key, mse=current_mse, configs=configs_blob)

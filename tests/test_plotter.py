@@ -85,3 +85,19 @@ def test_fid_vs_nfe_plot_two_solvers(tmp_path):
     plotter = Plotter(str(tmp_path), "t", out_dir=str(tmp_path / "analysis"))
     out = plotter.plot_fid_vs_nfe()
     assert out is not None and out.exists() and out.stat().st_size > 10_000
+
+
+def test_eval_trend_plot(tmp_path):
+    """In-training eval stream (train/evalhook.py) renders a FID-vs-step
+    trend, one labeled curve per weight kind (raw / EMA)."""
+    import json
+
+    rows = [{"step": s, "fid": f, "tower": "random-conv", "n": 64, "ema": False}
+            for s, f in [(100, 40.0), (200, 20.0), (300, 12.0)]]
+    rows += [{"step": s, "fid": f, "tower": "random-conv", "n": 64, "ema": True}
+             for s, f in [(200, 18.0), (300, 9.0)]]
+    (tmp_path / "t_eval.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    plotter = Plotter(str(tmp_path), "t", out_dir=str(tmp_path / "analysis"))
+    out = plotter.plot_eval_trend()
+    assert out is not None and out.exists() and out.stat().st_size > 10_000
+    assert "06_eval_trend.png" in {o.name for o in plotter.plot_all()}

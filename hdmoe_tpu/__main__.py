@@ -277,6 +277,43 @@ def _cmd_import(args):
     )
 
 
+def _cmd_export_ckpt(args):
+    import json
+    from pathlib import Path
+
+    import jax
+
+    from hdmoe_tpu.adapters.port import (
+        export_reference_checkpoint,
+        model_config_from_saved_json,
+    )
+    from hdmoe_tpu.models import precond_init
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    mgr = CheckpointManager(args.checkpoint)
+    step = args.step if args.step is not None else mgr.latest_step()
+    if step is None:
+        sys.exit(f"no checkpoints under {args.checkpoint}")
+    if args.preset:
+        from hdmoe_tpu.train import presets
+
+        cfg = presets.PRESETS[args.preset]()[0]
+    else:
+        cfg_file = Path(args.checkpoint) / f"config_{step}.json"
+        if not cfg_file.exists():
+            sys.exit(f"{cfg_file} not found — pass --preset to supply the model config")
+        cfg = model_config_from_saved_json(json.loads(cfg_file.read_text()))
+    state = init_train_state(
+        jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0)), OptimConfig()
+    )
+    state, _, mse = mgr.restore(state, jax.random.PRNGKey(0), step=step)
+    export_reference_checkpoint(state.params, cfg, args.out, step=int(state.step), mse=mse)
+    print(f"exported step {int(state.step)} ({cfg.variant}) -> {args.out}\n"
+          f"loadable by the reference: torch.load(...)['model_state_dict']")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hdmoe_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -351,6 +388,20 @@ def main(argv=None):
                                "(config1 checkpoints self-identify)")
     p_import.add_argument("--seed", type=int, default=0)
     p_import.set_defaults(fn=_cmd_import)
+
+    p_export_ckpt = sub.add_parser(
+        "export-checkpoint",
+        help="convert an orbax checkpoint from this framework into a "
+             "reference-loadable torch .pt (inverse of import-checkpoint)",
+    )
+    p_export_ckpt.add_argument("checkpoint", help="orbax checkpoint directory")
+    p_export_ckpt.add_argument("--out", default="./exported_reference.pt")
+    p_export_ckpt.add_argument("--step", type=int, default=None,
+                               help="checkpoint step (default: latest)")
+    p_export_ckpt.add_argument("--preset", default="",
+                               help="model preset if the checkpoint has no "
+                                    "config_{step}.json")
+    p_export_ckpt.set_defaults(fn=_cmd_export_ckpt)
 
     p_smoke = sub.add_parser("smoke", help="hermetic end-to-end smoke run")
     p_smoke.add_argument("--steps", type=int, default=5)

@@ -265,6 +265,236 @@ def reference_config_dict(ckpt_config: Any) -> Dict[str, Any]:
     raise TypeError(f"unrecognized checkpoint config type: {type(ckpt_config)}")
 
 
+# -- export: our pytree -> reference flat state_dict (inverse mapping) ------
+
+class _Emitter:
+    """Flat state_dict writer with duplicate-key detection (the exact
+    inverse of :class:`_StateDict`'s consumed-key accounting)."""
+
+    def __init__(self):
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def put(self, key: str, v) -> None:
+        if key in self.sd:
+            raise ValueError(f"duplicate export key {key!r}")
+        self.sd[key] = np.asarray(v)
+
+
+def _e_conv(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.weights", node["mpw"])
+
+
+def _e_lin1x1(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.weights", np.asarray(node["mpw"])[:, :, None, None])
+
+
+def _e_norm(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.weight", node["scale"])
+    em.put(f"{p}.bias", node["bias"])
+
+
+def _e_fourier(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.freqs", node["freqs"])
+    em.put(f"{p}.phases", node["phases"])
+
+
+def _e_attn(em: _Emitter, p: str, node: dict) -> None:
+    for ours, theirs in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                         ("v_proj", "v_proj"), ("out_proj", "out_proj")):
+        _e_lin1x1(em, f"{p}.{theirs}", node[ours])
+    if "rel_pos_bias" in node:
+        em.put(f"{p}.rel_pos_bias", node["rel_pos_bias"])
+    for name in ("q_time", "k_time", "v_time"):
+        if name in node:
+            _e_lin1x1(em, f"{p}.{name}", node[name])
+
+
+def _e_router(em: _Emitter, p: str, node: dict) -> None:
+    _e_conv(em, f"{p}.hard_route.0", node["conv1"])
+    _e_norm(em, f"{p}.hard_route.1", node["gn1"])
+    _e_conv(em, f"{p}.hard_route.3", node["conv2"])
+    _e_norm(em, f"{p}.hard_route.4", node["gn2"])
+    _e_conv(em, f"{p}.hard_route.6", node["conv3"])
+    _e_norm(em, f"{p}.hard_route.7", node["gn3"])
+    _e_conv(em, f"{p}.time_linear", node["time_linear"])
+    _e_conv(em, f"{p}.linear", node["linear"])
+
+
+def _e_scaling_net(em: _Emitter, p: str, node: dict) -> None:
+    _e_conv(em, f"{p}.soft_route.0", node["fc1"])
+    _e_norm(em, f"{p}.soft_route.1", node["gn1"])
+    _e_conv(em, f"{p}.soft_route.3", node["fc2"])
+    _e_norm(em, f"{p}.soft_route.4", node["gn2"])
+    _e_conv(em, f"{p}.linear", node["out"])
+
+
+def _e_vit_block(em: _Emitter, p: str, node: dict) -> None:
+    _e_norm(em, f"{p}.GN", node["gn"])
+    _e_conv(em, f"{p}.linear1", node["linear1"])
+    _e_norm(em, f"{p}.norm1", node["norm1"])
+    _e_norm(em, f"{p}.norm2", node["norm2"])
+    _e_attn(em, f"{p}.TMSA", node["tmsa"])
+    _e_conv(em, f"{p}.linear2", node["linear2"])
+    _e_conv(em, f"{p}.linear3", node["linear3"])
+    if "skip_proj" in node:
+        _e_conv(em, f"{p}.skip_proj", node["skip_proj"])
+
+
+def _e_vit_expert(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.patch.weight", node["patch_w"])
+    em.put(f"{p}.patch.bias", node["patch_b"])
+    em.put(f"{p}.pos_emb", node["pos_emb"])
+    _e_norm(em, f"{p}.norm", node["norm"])
+    _e_conv(em, f"{p}.unpatch_proj", node["unpatch_proj"])
+    for j, blk in enumerate(node["blocks"]):
+        _e_vit_block(em, f"{p}.diffit.{j}", blk)
+    if "map_txt" in node:
+        _e_conv(em, f"{p}.map_txt", node["map_txt"])
+
+
+def _e_unet_block(em: _Emitter, p: str, node: dict) -> None:
+    _e_conv(em, f"{p}.emb_layer", node["emb_layer"])
+    _e_conv(em, f"{p}.conv_res1", node["conv_res1"])
+    _e_conv(em, f"{p}.conv_res2", node["conv_res2"])
+    if "conv_skip" in node:
+        _e_conv(em, f"{p}.conv_skip", node["conv_skip"])
+
+
+def _e_unet_expert(em: _Emitter, p: str, node: dict) -> None:
+    em.put(f"{p}.out_gain", node["out_gain"])
+    _e_conv(em, f"{p}.map_noise", node["map_noise"])
+    _e_conv(em, f"{p}.out_conv", node["out_conv"])
+    for name, sub in node["encoders"].items():
+        if set(sub) == {"mpw"}:
+            _e_conv(em, f"{p}.encoders.{name}", sub)
+        else:
+            _e_unet_block(em, f"{p}.encoders.{name}", sub)
+    for name, sub in node["decoders"].items():
+        _e_unet_block(em, f"{p}.decoders.{name}", sub)
+    if "map_text" in node:
+        _e_conv(em, f"{p}.map_text", node["map_text"])
+
+
+def export_model_state_dict(params: dict, cfg: HDMOEMConfig) -> Dict[str, np.ndarray]:
+    """Our param pytree -> the reference's flat ``state_dict`` key layout
+    (exact inverse of :func:`port_model_state_dict`; round-trip tested in
+    tests/test_import_checkpoint.py). Values are float32 numpy arrays —
+    callers torch-ify as needed."""
+    em = _Emitter()
+    net = params["net"]
+    _e_conv(em, "net.input_proj", net["input_proj"])
+    _e_fourier(em, "net.Fourier_emb", net["fourier"])
+    _e_conv(em, "net.out_fourier1", net["out_fourier1"])
+    _e_conv(em, "net.out_fourier2", net["out_fourier2"])
+    _e_router(em, "net.Unet_router", net["unet_router"])
+    _e_router(em, "net.vit_router", net["vit_router"])
+    em.put("net.alpha_txt", net["alpha_txt"])
+    for i, e in enumerate(net["unet_experts"]):
+        _e_unet_expert(em, f"net.Unet_experts.{i}", e)
+    for i, v in enumerate(net["vit_experts"]):
+        _e_vit_expert(em, f"net.VIT_experts.{i}", v)
+    _e_attn(em, "net.cross_attn", net["cross_attn"])
+    _e_attn(em, "net.cross_attn_text", net["cross_attn_text"])
+    _e_conv(em, "net.gate1", net["gate1"])
+    _e_conv(em, "net.gate2", net["gate2"])
+    _e_conv(em, "net.output_proj", net["output_proj"])
+    if cfg.variant == "config1":
+        _e_scaling_net(em, "net.scaling_net", net["scaling_net"])
+    _e_fourier(em, "log_var_fourier", params["log_var_fourier"])
+    _e_conv(em, "log_var_linear", params["log_var_linear"])
+    return em.sd
+
+
+def config_to_reference_dict(cfg: HDMOEMConfig) -> Dict[str, Any]:
+    """Our config -> the reference's saved-config vocabulary (the exact
+    inverse of :func:`hdmoe_tpu.models.configs.config_from_dict`)."""
+    return {
+        "img_channels": cfg.in_channels,
+        "img_resolution": cfg.img_resolution,
+        "internal_channels": cfg.internal_channels,
+        "time_emb_dim": cfg.time_emb_dim,
+        "text_emb_dim": cfg.text_emb_dim,
+        "num_experts": cfg.num_experts,
+        "top_k": cfg.top_k,
+        "fourier_bandwidth": cfg.fourier_bandwidth,
+        "VIT_num_blocks": cfg.vit_num_blocks,
+        "VIT_patch_sizes": list(cfg.vit_patch_sizes),
+        "VIT_num_groups": cfg.vit_num_groups,
+        "VIT_num_heads": cfg.vit_num_heads,
+        "VIT_emb_size": cfg.vit_emb_size,
+        "Unet_num_blocks": cfg.unet_num_blocks,
+        "Unet_channel_mult": list(cfg.unet_channel_mult),
+        "Unet_kernel_sizes": [list(k) for k in cfg.unet_kernel_sizes],
+        "Unet_model_channels": cfg.unet_model_channels,
+        "Unet_channel_mult_emb": cfg.unet_channel_mult_emb,
+        "Unet_label_balance": cfg.unet_label_balance,
+        "Unet_concat_balance": cfg.unet_concat_balance,
+        "sigma_data": cfg.sigma_data,
+        "log_var_channels": cfg.log_var_channels,
+        "variant": cfg.variant,
+    }
+
+
+def model_config_from_saved_json(d: Dict[str, Any]) -> HDMOEMConfig:
+    """Rebuild the model config from a checkpoint's ``config_{step}.json``.
+
+    Handles both layouts that file carries: the training loop saves our
+    dataclass fields under ``model_configs`` (train_loop.py configs_blob),
+    while ``import-checkpoint`` saves the reference vocabulary flat
+    (img_channels, VIT_num_blocks, ...)."""
+    if isinstance(d.get("model_configs"), dict):
+        m = d["model_configs"]
+        if "img_channels" in m:
+            return config_from_dict(m)
+        kw = dict(m)
+        for k in ("vit_patch_sizes", "unet_channel_mult"):
+            if k in kw and kw[k] is not None:
+                kw[k] = tuple(kw[k])
+        if kw.get("unet_kernel_sizes") is not None:
+            kw["unet_kernel_sizes"] = tuple(tuple(x) for x in kw["unet_kernel_sizes"])
+        valid = set(HDMOEMConfig.__dataclass_fields__)
+        return HDMOEMConfig(**{k: v for k, v in kw.items() if k in valid})
+    if "img_channels" in d:
+        return config_from_dict(d)
+    raise ValueError(
+        "unrecognized saved config layout (no 'model_configs' dict and no "
+        f"reference-vocabulary keys): {sorted(d)[:8]}..."
+    )
+
+
+def export_reference_checkpoint(
+    params: dict,
+    cfg: HDMOEMConfig,
+    out_path: str,
+    step: int = 0,
+    mse: float = float("nan"),
+) -> None:
+    """Write a reference-loadable ``.pt``: the same dict shape
+    ``save_checkpoint`` produces (Utils/training.py:242-271), so reference
+    tooling (its inference path, its own resume-on-weights) consumes a model
+    trained here. Optimizer moments are not portable (different layout) —
+    the reference side resumes warm on weights, cold on Adam state, exactly
+    mirroring import_reference_checkpoint's contract."""
+    import torch  # save-time only
+
+    params = jax.device_get(params)
+    # np.array (not ascontiguousarray, which promotes 0-d scalars like
+    # out_gain/alpha_txt to (1,)) keeps reference shapes exactly and gives
+    # torch a writable copy.
+    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32, order="C"))
+          for k, v in export_model_state_dict(params, cfg).items()}
+    torch.save(
+        {
+            "step": int(step),
+            "model_state_dict": sd,
+            "optimizer_state_dict": {},
+            "mse": float(mse),
+            "config": {"model_configs": config_to_reference_dict(cfg)},
+        },
+        out_path,
+    )
+
+
 def import_reference_checkpoint(
     path: str,
     variant: str = "config1",

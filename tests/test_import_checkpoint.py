@@ -188,3 +188,81 @@ def test_import_variant_autodetect(tmp_path):
     assert meta["variant"] == "config2" and cfg.variant == "config2"
     got, want = _forward_pair(ref_mod, params, cfg, "config2")
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# -- export: our pytree -> reference .pt (inverse direction) ----------------
+
+
+@pytest.mark.parametrize("variant", ["config2", "config1"])
+def test_export_inverts_import(variant):
+    """export_model_state_dict is the exact inverse of port_model_state_dict:
+    reference sd -> our pytree -> flat sd reproduces every key bit-exactly."""
+    from hdmoe_tpu.adapters.port import export_model_state_dict
+
+    ref_mod = _ref_model(variant)
+    cfg = _cfg(variant)
+    want = {k: v.numpy() for k, v in ref_mod.state_dict().items()}
+    params = port_model_state_dict(want, cfg)
+    got = export_model_state_dict(params, cfg)
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_export_strict_loads_into_reference_model():
+    """A model trained HERE loads into the reference torch module with
+    strict=True and reproduces our forward — the full outbound bridge."""
+    from hdmoe_tpu.adapters.port import export_model_state_dict
+    from hdmoe_tpu.models import precond_init
+
+    variant = "config1"
+    cfg = _cfg(variant)
+    params = jax.device_get(precond_init(jax.random.PRNGKey(3), cfg))
+    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32, order="C"))
+          for k, v in export_model_state_dict(params, cfg).items()}
+    ref_mod = _ref_model(variant)
+    ref_mod.load_state_dict(sd, strict=True)
+    got, want = _forward_pair(ref_mod, params, cfg, variant)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_export_checkpoint_cli_roundtrip(tmp_path):
+    """orbax checkpoint -> export-checkpoint CLI -> torch .pt the import
+    path (and therefore the reference) accepts; weights survive both hops."""
+    from hdmoe_tpu.models import precond_init
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+    from hdmoe_tpu.__main__ import main
+
+    cfg = _cfg("config1")
+    params = precond_init(jax.random.PRNGKey(4), cfg)
+    state = init_train_state(params, OptimConfig())
+    state = state._replace(step=jnp.asarray(77, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    import dataclasses
+
+    mgr.save(state, jax.random.PRNGKey(0), mse=0.5,
+             configs={"model_configs": dataclasses.asdict(cfg)})
+    mgr.close()
+
+    pt = tmp_path / "back.pt"
+    main(["export-checkpoint", str(tmp_path / "ckpt"), "--out", str(pt)])
+    ckpt = torch.load(str(pt), map_location="cpu", weights_only=False)
+    assert ckpt["step"] == 77 and ckpt["mse"] == pytest.approx(0.5)
+
+    # the exported file round-trips through our own importer bit-exactly
+    params2, cfg2, meta = import_reference_checkpoint(str(pt))
+    assert cfg2 == cfg and meta["step"] == 77
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_vocabulary_roundtrip():
+    from hdmoe_tpu.adapters.port import config_to_reference_dict
+    from hdmoe_tpu.models.configs import config_from_dict
+
+    for variant in ("config1", "config2"):
+        cfg = _cfg(variant)
+        assert config_from_dict(config_to_reference_dict(cfg)) == cfg

@@ -50,6 +50,14 @@ def _cmd_train(args):
         overrides["grad_accum"] = args.grad_accum
     if args.eval_interval:
         overrides["eval_interval"] = args.eval_interval
+    if args.mesh:
+        from hdmoe_tpu.parallel import MeshConfig
+
+        sizes = [int(x) for x in args.mesh.split(",")]
+        sizes += [1] * (3 - len(sizes))
+        overrides["mesh"] = MeshConfig(*sizes[:3])
+    if args.fsdp:
+        overrides["fsdp"] = True
     if args.augment is not None:
         from hdmoe_tpu.train.augment import AugmentConfig
 
@@ -344,6 +352,12 @@ def main(argv=None):
                          help="score the live (EMA when tracked) weights with "
                               "a small streaming FID + sample grid every N "
                               "steps (train/evalhook.py; eval JSONL stream)")
+    p_train.add_argument("--mesh", default="",
+                         help="DATA[,MODEL[,EXPERT]] mesh axis sizes "
+                              "(e.g. '8' or '4,2'; default single device)")
+    p_train.add_argument("--fsdp", action="store_true",
+                         help="ZeRO/FSDP: store params + Adam moments sharded "
+                              "over the data axis (needs --mesh with data>1)")
     p_train.add_argument("--multihost", action="store_true",
                          help="initialize jax.distributed from the environment "
                               "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "

@@ -55,19 +55,56 @@ def _leaf_spec(path, leaf, model_size: int, expert_size: int) -> P:
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh):
-    """NamedSharding pytree for a parameter tree under ``mesh``."""
+def _extend_fsdp(spec: P, leaf, data_size: int, min_size: int) -> P:
+    """ZeRO/FSDP: extend a leaf's TP/EP spec with ``"data"`` sharding on the
+    largest still-unsharded dim divisible by the data axis size.
+
+    Parameters (and, through :func:`shard_train_state`, their Adam moments)
+    are then STORED 1/data_size-sized per chip; GSPMD all-gathers them just
+    before use in forward/backward and reduce-scatters the gradients, so the
+    train step stays one SPMD program — the scaling-book FSDP recipe, no
+    hand-written collectives. Leaves smaller than ``min_size`` elements stay
+    replicated (gather latency would exceed the memory saved)."""
+    if data_size <= 1 or leaf.ndim == 0 or leaf.size < min_size:
+        return spec
+    full = list(spec) + [None] * (leaf.ndim - len(spec))
+    cands = [(leaf.shape[i], i) for i in range(leaf.ndim)
+             if full[i] is None and leaf.shape[i] % data_size == 0]
+    if not cands:
+        return spec
+    _, dim = max(cands, key=lambda t: (t[0], -t[1]))
+    full[dim] = "data"
+    return P(*full)
+
+
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False,
+                    fsdp_min_size: int = 1024):
+    """NamedSharding pytree for a parameter tree under ``mesh``.
+
+    ``fsdp=True`` additionally shards every large-enough leaf over the
+    ``data`` axis (ZeRO-3 storage; see :func:`_extend_fsdp`), composing with
+    the TP (``model``) and EP (``expert``) rules."""
     model_size = mesh.shape["model"]
     expert_size = mesh.shape["expert"]
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, model_size, expert_size)),
-        params,
-    )
+    data_size = mesh.shape["data"] if fsdp else 1
+
+    def one(path, leaf):
+        spec = _leaf_spec(path, leaf, model_size, expert_size)
+        if fsdp:
+            spec = _extend_fsdp(spec, leaf, data_size, fsdp_min_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place an existing host train state onto the mesh."""
-    p_shard = param_shardings(state.params, mesh)
+def shard_train_state(state: TrainState, mesh: Mesh, fsdp: bool = False,
+                      fsdp_min_size: int = 1024) -> TrainState:
+    """Place an existing host train state onto the mesh.
+
+    ``fsdp=True`` stores parameters AND their shape-matched optimizer
+    moments 1/data-sized per chip (ZeRO; :func:`_extend_fsdp`)."""
+    p_shard = param_shardings(state.params, mesh, fsdp=fsdp,
+                              fsdp_min_size=fsdp_min_size)
     params = jax.device_put(state.params, p_shard)
     # Optimizer state mirrors the parameter tree where shapes match; scalars
     # (counts, schedules) replicate.
@@ -95,12 +132,18 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     return TrainState(params=params, opt_state=opt_state, step=step)
 
 
-def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
+def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True,
+                            state_shardings=None):
     """jit the train step with explicit data sharding over the mesh.
 
     The state keeps whatever shardings it was placed with (pjit infers from
     operand shardings); batch inputs are constrained to ``P("data", ...)``.
-    """
+
+    ``state_shardings`` (a NamedSharding pytree matching the TrainState, e.g.
+    ``jax.tree.map(lambda x: x.sharding, state)``) additionally constrains the
+    RETURNED state — under FSDP this pins the updated params/moments back to
+    their 1/data-sized storage layout so XLA reduce-scatters gradients into
+    the shard instead of round-tripping through a replicated update."""
 
     def wrapped(state, latents, text_emb, key):
         # latents are (B, H, W, C) or a microbatch stack (accum, B, H, W, C);
@@ -109,13 +152,18 @@ def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
             latents, batch_sharding(mesh, latents.ndim, axis=latents.ndim - 4))
         if text_emb is not None:
             text_emb = jax.lax.with_sharding_constraint(text_emb, batch_sharding(mesh, text_emb.ndim))
-        return train_step(state, latents, text_emb, key)
+        new_state, metrics, aux = train_step(state, latents, text_emb, key)
+        if state_shardings is not None:
+            new_state = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, new_state, state_shardings)
+        return new_state, metrics, aux
 
     donate = (0,) if donate_state else ()
     return jax.jit(wrapped, donate_argnums=donate)
 
 
-def make_sharded_train_devicegen(train_step, latents_fn, text_emb, mesh: Mesh, k: int = 1):
+def make_sharded_train_devicegen(train_step, latents_fn, text_emb, mesh: Mesh,
+                                 k: int = 1, state_shardings=None):
     """Mesh version of ``train_step.make_train_devicegen``: on-device data
     generation INSIDE the sharded program, K optimizer steps per dispatch.
 
@@ -133,5 +181,13 @@ def make_sharded_train_devicegen(train_step, latents_fn, text_emb, mesh: Mesh, k
             te = jax.lax.with_sharding_constraint(te, batch_sharding(mesh, te.ndim))
         return lat, te
 
-    wrapped = make_train_devicegen(train_step, latents_fn, text_emb, k, constrain=constrain)
+    inner = make_train_devicegen(train_step, latents_fn, text_emb, k, constrain=constrain)
+    if state_shardings is None:
+        return jax.jit(inner, donate_argnums=(0,))
+
+    def wrapped(state, key):
+        out = inner(state, key)
+        return (jax.tree_util.tree_map(jax.lax.with_sharding_constraint,
+                                       out[0], state_shardings),) + tuple(out[1:])
+
     return jax.jit(wrapped, donate_argnums=(0,))

@@ -66,6 +66,12 @@ class RunConfig:
     seed: int = 0
     resume: bool = False
     mesh: Optional[MeshConfig] = None  # None => single device
+    # ZeRO/FSDP: store params + Adam moments sharded 1/data-sized per chip
+    # (parallel/sharding.py:_extend_fsdp); GSPMD all-gathers weights at use
+    # and reduce-scatters grads into the shard. Memory lever for models too
+    # big to replicate — needs run.mesh with data > 1.
+    fsdp: bool = False
+    fsdp_min_size: int = 1024  # leaves under this many elements replicate
     print_interval: int = 100
     ema_decay: float = 0.0  # 0 disables EMA; e.g. 0.9999 enables
     # Post-hoc EMA (Karras/EDM2; the reference's open TODO): snapshot the
@@ -182,9 +188,6 @@ def training_hdmoe(
     state = init_train_state(params, optim_cfg)
 
     ckpt = CheckpointManager(run.save_dir, async_save=run.async_checkpoint)
-    if run.resume and ckpt.latest_step() is not None:
-        state, key, _ = ckpt.restore(state, key)
-        print(f"[resume] restored step {int(state.step)} from {run.save_dir}")
 
     data_target = None  # where host batches land (single device or mesh-sharded)
     import contextlib
@@ -205,7 +208,15 @@ def training_hdmoe(
             from hdmoe_tpu.ops.attention import ring_attention_context
 
             trace_ctx.enter_context(ring_attention_context(mesh, "data"))
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, fsdp=run.fsdp,
+                                  fsdp_min_size=run.fsdp_min_size)
+
+    if run.resume and ckpt.latest_step() is not None:
+        # Restore AFTER mesh placement: the sharded state is the orbax
+        # template, so each device reads only its own (FSDP/TP/EP) shard —
+        # resume never materializes the full model on one host.
+        state, key, _ = ckpt.restore(state, key)
+        print(f"[resume] restored step {int(state.step)} from {run.save_dir}")
 
     accum = max(1, int(run.grad_accum))
     if accum > 1:
@@ -230,7 +241,12 @@ def training_hdmoe(
 
     n_proc = jax.process_count()
     if mesh is not None:
-        jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True)
+        # Under FSDP the returned state is pinned back to its sharded storage
+        # layout so the update reduce-scatters instead of replicating.
+        state_shardings = (jax.tree_util.tree_map(lambda x: x.sharding, state)
+                           if run.fsdp else None)
+        jit_step = make_sharded_train_step(step_fn, mesh, donate_state=True,
+                                           state_shardings=state_shardings)
         # pixels arrive as (B, H, W, C), or (accum, B, H, W, C) stacks when
         # accumulating — the batch axis is 4 dims from the end either way
         batch_ax = 0 if accum == 1 else 1
@@ -293,7 +309,10 @@ def training_hdmoe(
         if run.mesh is not None:
             from hdmoe_tpu.parallel.sharding import make_sharded_train_devicegen
 
-            jit_step = make_sharded_train_devicegen(step_fn, _latents_fn, text_emb, mesh, k_call)
+            jit_step = make_sharded_train_devicegen(
+                step_fn, _latents_fn, text_emb, mesh, k_call,
+                state_shardings=(jax.tree_util.tree_map(lambda x: x.sharding, state)
+                                 if run.fsdp else None))
         else:
             jit_step = jax.jit(
                 make_train_devicegen(step_fn, _latents_fn, text_emb, k_call), donate_argnums=0

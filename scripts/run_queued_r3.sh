@@ -18,6 +18,10 @@ if ! timeout 900 python -c "import jax; print(jax.devices())" >> "$LOGDIR/queue.
   note "TUNNEL STILL WEDGED - aborting queue"; exit 1
 fi
 
+note "0b/6 bench.py (headline img/s; insurance in case the driver's end-of-round window hits another wedge)"
+timeout 3600 python bench.py > artifacts/bench_r3_manual.json 2> "$LOGDIR/bench_manual.log"
+note "  exit $? (artifacts/bench_r3_manual.json)"
+
 note "1/6 perf_round3 barrier-corrected revalidation (control/pallas/priority)"
 PERF_ONLY=A_control_cf1,D_pallas_conv,E_priority \
   timeout 7200 python scripts/perf_round3.py artifacts/perf_round3_reval.json \

@@ -106,7 +106,8 @@ def dpmpp_2m_sample(
         return (x_next, denoised), (x_next if return_trajectory else None)
 
     xs = (jnp.arange(n), sig_prev, sig_cur, sig_next)
-    (x_final, _), traj = lax.scan(body, (x0, jnp.zeros_like(x0)), xs)
+    (x_final, _), traj = lax.scan(body, (x0, jnp.zeros_like(x0)), xs,
+                                  unroll=max(1, cfg.scan_unroll))
     if return_trajectory:
         return x_final, traj
     return x_final

@@ -37,6 +37,12 @@ class EDMSamplerConfig:
     s_max: float = float("inf")
     s_noise: float = 1.0
     guidance: float = 1.0
+    # lax.scan unroll factor: >1 lets XLA software-pipeline across Heun
+    # steps (overlapping one step's epilogue with the next's prologue —
+    # the 8-11%% IDLE chase, PERF.md "Remaining headroom"). Compile time
+    # and program size grow with the factor; Heun results are bit-identical,
+    # DPM++(2M) matches to float tolerance (fusion reassociation).
+    scan_unroll: int = 1
 
 
 def karras_sigma_schedule(cfg: EDMSamplerConfig) -> jnp.ndarray:
@@ -149,7 +155,7 @@ def edm_sample(
         return x_next, (x_next if return_trajectory else None)
 
     xs = (jnp.arange(n), t_steps[:-1], t_steps[1:], step_keys)
-    x_final, traj = lax.scan(body, x0, xs)
+    x_final, traj = lax.scan(body, x0, xs, unroll=max(1, cfg.scan_unroll))
     if return_trajectory:
         return x_final, traj
     return x_final

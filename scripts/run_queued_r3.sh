@@ -28,6 +28,10 @@ PERF_ONLY=A_control_cf1,D_pallas_conv,E_priority \
   > "$LOGDIR/perf_reval.log" 2>&1
 note "  exit $? (artifacts/perf_round3_reval.json)"
 
+note "1a/6 scan-unroll IDLE chase (bit-identical pipelining A/B)"
+timeout 5400 python scripts/idle_unroll_r3.py > "$LOGDIR/idle_unroll.log" 2>&1
+note "  exit $? (artifacts/idle_unroll_r3.json)"
+
 note "1b/6 deploy-path validation (flagship artifact export/load/identity)"
 timeout 5400 python scripts/deploy_r3.py > "$LOGDIR/deploy.log" 2>&1
 note "  exit $? (artifacts/deploy_r3.json)"

@@ -143,3 +143,27 @@ def test_heun_matches_manual_python_loop():
 
     got = edm_sample(lambda xx, s, tt: xx * 0.9, jnp.asarray(noise), None, cfg)
     np.testing.assert_allclose(np.asarray(got), x, rtol=2e-5, atol=1e-5)
+
+
+def test_scan_unroll_identical():
+    """scan_unroll pipelines the compiled loop without changing the math:
+    Heun latents are bit-equal across unroll factors; DPM++(2M)'s richer
+    per-step arithmetic refuses only through XLA fusion reassociation
+    (measured ~8e-7 relative on CPU) — pinned at float tolerance."""
+    from hdmoe_tpu.sampler.dpm import dpmpp_2m_sample
+
+    fn = lambda x, s, t: x * 0.9  # noqa: E731
+    noise = jax.random.normal(KEY, SHAPE)
+    for u in (2, 4):
+        base = edm_sample(fn, noise, None,
+                          EDMSamplerConfig(num_steps=7, scan_unroll=1))
+        got = edm_sample(fn, noise, None,
+                         EDMSamplerConfig(num_steps=7, scan_unroll=u))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+        base_d = dpmpp_2m_sample(fn, noise, None,
+                                 EDMSamplerConfig(num_steps=7, scan_unroll=1))
+        got_d = dpmpp_2m_sample(fn, noise, None,
+                                EDMSamplerConfig(num_steps=7, scan_unroll=u))
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(base_d),
+                                   rtol=1e-5, atol=1e-4)

@@ -204,6 +204,16 @@ def _build_engine(args):
         cfg = builder()[0]
     else:
         cfg = default_model_config()
+    # validate mesh divisibility BEFORE the (expensive) param init/compile
+    mesh_n = int(getattr(args, "mesh", 0) or 0)
+    buckets = getattr(args, "buckets", "")
+    bucket_sizes = tuple(int(b) for b in buckets.split(",")) if buckets else ()
+    if mesh_n and bucket_sizes and any(b % mesh_n for b in bucket_sizes):
+        sys.exit(f"--buckets {buckets}: every bucket must be a multiple "
+                 f"of --mesh {mesh_n} (each batch shards over the data axis)")
+    if mesh_n and not bucket_sizes and args.batch_size % mesh_n:
+        sys.exit(f"--batch-size {args.batch_size} must be a multiple of "
+                 f"--mesh {mesh_n} (the batch shards over the data axis)")
     params = jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0))
     if args.checkpoint:
         from hdmoe_tpu.train.checkpoint import CheckpointManager
@@ -221,13 +231,14 @@ def _build_engine(args):
         text_kind=args.text_encoder, solver=getattr(args, "solver", "heun"),
         quantize=getattr(args, "quantize", "none"),
     )
-    buckets = getattr(args, "buckets", "")
-    if buckets:
+    if mesh_n:
+        from hdmoe_tpu.parallel import MeshConfig, make_mesh
+
+        kw["mesh"] = make_mesh(MeshConfig(data=mesh_n))
+    if bucket_sizes:
         from hdmoe_tpu.serve import BucketedEngine
 
-        return BucketedEngine(
-            cfg, params, buckets=tuple(int(b) for b in buckets.split(",")), **kw
-        )
+        return BucketedEngine(cfg, params, buckets=bucket_sizes, **kw)
     return SamplerEngine(cfg, params, batch=args.batch_size, **kw)
 
 
@@ -462,6 +473,10 @@ def main(argv=None):
                          help="comma list of batch buckets (e.g. 1,4,16): one AOT "
                               "executable per size, requests route to the smallest fit "
                               "(overrides --batch-size)")
+    p_serve.add_argument("--mesh", type=int, default=0,
+                         help="data-parallel serving: shard each sampling "
+                              "batch over N devices (batch/bucket sizes must "
+                              "be multiples of N; params replicate)")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8777)
     p_serve.add_argument("--artifact", default="",

@@ -63,6 +63,13 @@ def test_fsdp_spec_rules():
     sh_off = param_shardings(params, mesh, fsdp=False)
     assert _spec_of(sh_off, "conv", "mpw") == P()
 
+    # composes with EP: a stacked bank keeps its expert axis and FSDP moves
+    # to the next-largest free divisible dim.
+    ep_mesh = make_mesh(MeshConfig(data=2, model=1, expert=4))
+    bank = {"class_banks": {"w": {"mpw": jnp.ones((4, 32, 8))}}}
+    sh_ep = param_shardings(bank, ep_mesh, fsdp=True, fsdp_min_size=64)
+    assert _spec_of(sh_ep, "class_banks", "w", "mpw") == P("expert", "data", None)
+
 
 def _build_step(cfg):
     loss_cfg = EDMLossConfig(num_experts=cfg.num_experts, unet_bal=0.05,

@@ -34,3 +34,13 @@ explicitly, everything jits with static shapes.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (compilecache.py): every entry point that
+# imports the package — bench.py, the CLI, the queued revalidation scripts,
+# the driver's dryrun, the tests — shares one on-disk executable cache, so
+# the 5-10 min tunnel compiles of unchanged programs happen once per repo
+# lifetime, not once per process. HDMOE_COMPILE_CACHE=off disables.
+from hdmoe_tpu.compilecache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

@@ -1,0 +1,64 @@
+"""Persistent XLA compilation cache, enabled for every framework entry point.
+
+Why this exists: the benchmark chip sits behind a slow tunnel where a single
+flagship sampler-scan compile takes 5-10 minutes (CLAUDE.md gotchas), and the
+same programs are compiled over and over — bench.py on every driver round,
+each queued revalidation script, the multichip dryrun, repeated test runs.
+JAX's persistent compilation cache stores the serialized executable keyed by
+(HLO fingerprint, compile options, backend/runtime version); a re-run of an
+unchanged program loads from disk in seconds instead of recompiling.
+
+The cache directory defaults to ``<repo>/.jax_cache`` because the repository
+outlives any single session VM — a warm cache from one session accelerates
+the next session and the driver's end-of-round bench. Override with
+``HDMOE_COMPILE_CACHE=<dir>`` or disable with ``HDMOE_COMPILE_CACHE=off``.
+
+Only compiles taking >= 10 s are persisted (``min_compile_time_secs``): the
+test suite's thousands of tiny CPU programs would otherwise bloat the
+directory for no win, while every tunnel-scale compile clears the bar by an
+order of magnitude.
+
+If the backend's PJRT plugin does not support executable serialization, JAX
+logs a one-line warning and compiles as before — enabling the cache is never
+worse than not having it. No reference analog (the reference re-JITs its
+torch.compile artifacts from scratch per process, if at all).
+"""
+
+from __future__ import annotations
+
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+
+_enabled_dir: str | None = None
+
+
+def enable_persistent_cache(path: str | None = None,
+                            min_compile_secs: float = 10.0) -> str | None:
+    """Point JAX's persistent compilation cache at ``path`` (idempotent).
+
+    Returns the cache directory, or None when disabled
+    (``HDMOE_COMPILE_CACHE`` in {"off", "0", "none"}) or the directory
+    cannot be created (e.g. read-only checkout) — both are silent no-ops so
+    importing the package never fails over a cache.
+    """
+    global _enabled_dir
+    env = os.environ.get("HDMOE_COMPILE_CACHE", "")
+    if env.lower() in ("off", "0", "none"):
+        return None
+    path = path or env or DEFAULT_DIR
+    path = os.path.abspath(path)
+    if _enabled_dir == path:
+        return path
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+    except Exception:
+        return None
+    _enabled_dir = path
+    return path

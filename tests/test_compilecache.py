@@ -1,0 +1,67 @@
+"""Persistent-compilation-cache plumbing (hdmoe_tpu/compilecache.py).
+
+The win itself (5-10 min tunnel compiles skipped on re-run) is only
+observable on the benchmark chip; these tests pin the mechanics — the
+package-import side effect points JAX at the repo cache dir, entries are
+actually written once the compile-time threshold is met, and the env kill
+switch works — on the CPU backend, where executable serialization is also
+supported.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+
+import hdmoe_tpu
+from hdmoe_tpu.compilecache import DEFAULT_DIR, enable_persistent_cache
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_package_import_enables_repo_cache_dir():
+    # importing hdmoe_tpu (done above) configured the cache unless the env
+    # opted out
+    assert jax.config.jax_compilation_cache_dir == DEFAULT_DIR
+    assert os.path.isdir(DEFAULT_DIR)
+    # threshold keeps the test suite's thousands of tiny programs out
+    assert jax.config.jax_persistent_cache_min_compile_time_secs >= 10.0
+
+
+def test_cache_writes_an_entry(tmp_path):
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        cache_dir = str(tmp_path / "cache")
+        assert enable_persistent_cache(cache_dir, min_compile_secs=0.0) == cache_dir
+        # a fresh non-trivial program (unique constant so no earlier in-memory
+        # executable is reused)
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T) * 12345.678
+
+        f(jnp.ones((64, 64))).block_until_ready()
+        entries = os.listdir(cache_dir)
+        assert entries, "no cache entry written at min_compile_secs=0"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        # reset the module's idempotency latch so later callers can re-enable
+        import hdmoe_tpu.compilecache as cc
+
+        cc._enabled_dir = None
+        enable_persistent_cache(prev_dir)
+
+
+def test_env_kill_switch():
+    env = dict(os.environ, HDMOE_COMPILE_CACHE="off",
+               JAX_PLATFORM_NAME="cpu", PYTHONDONTWRITEBYTECODE="1")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, hdmoe_tpu; print(repr(jax.config.jax_compilation_cache_dir))"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() in ("None", "''"), out.stdout

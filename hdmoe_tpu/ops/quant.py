@@ -44,9 +44,16 @@ _S_KEY = "q8_scale"
 
 
 def _quantize_leaf(w: jnp.ndarray) -> dict:
-    """Symmetric per-output-channel (last axis) int8 quantization."""
+    """Symmetric per-output-channel int8 quantization.
+
+    mpw weights are torch-ordered (out, in[, kh, kw]) (ops/mp.py
+    mp_conv_init), and MP normalization is per output channel = per
+    leading-axis row — so the scale reduces over every axis EXCEPT axis 0,
+    giving one scale per output channel (shape (O, 1[, 1, 1]), broadcast
+    by the dequant multiply).
+    """
     w = jnp.asarray(w, jnp.float32)
-    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(1, w.ndim)), keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return {_Q_KEY: q, _S_KEY: scale.astype(jnp.float32)}

@@ -39,6 +39,31 @@ def test_roundtrip_error_bound():
     assert mean_err <= max_err
 
 
+def test_scale_is_per_output_channel():
+    """The scale axis is the OUTPUT channel (axis 0 of the torch-ordered
+    (out, in, kh, kw) mpw, matching the per-output-channel MP
+    normalization). Regression test for the round-3 review find: reducing
+    over all-but-LAST axis instead gave per-kernel-column scales, so a
+    small-magnitude output channel inherited a large channel's scale and
+    its relative error exploded."""
+    from hdmoe_tpu.ops.quant import _quantize_leaf, _dequantize_leaf
+
+    k = jax.random.PRNGKey(1)
+    w = jax.random.normal(k, (4, 8, 3, 3))
+    w = w.at[0].multiply(100.0)  # one dominant output channel
+    q = _quantize_leaf(w)
+    assert q["q8_scale"].shape == (4, 1, 1, 1)
+    rt = _dequantize_leaf(q)
+    for c in range(4):
+        cmax = float(jnp.max(jnp.abs(w[c])))
+        err = float(jnp.max(jnp.abs(rt[c] - w[c]))) / cmax
+        # per-channel bound: half a quant step of THAT channel's max
+        assert err <= 1.0 / 254 + 1e-6, (c, err)
+    # linear weights (out, in): one scale per out row
+    wl = jax.random.normal(k, (6, 5))
+    assert _quantize_leaf(wl)["q8_scale"].shape == (6, 1)
+
+
 def test_quantize_dequantize_topology_and_values():
     params = _tiny_params()
     q = quantize_tree_int8(params)

@@ -29,6 +29,14 @@ Design notes (TPU-first):
   ``conv_impl="pallas"``; Mosaic lowering is per-backend) export for the
   current backend only — ``export_sampler`` narrows automatically and
   records the fact in meta.json.
+- Numerical contract: the deserialized module recompiles as a fresh XLA
+  program whose fusion choices can differ from the live engine's jit. In
+  fp32 the loaded artifact is bit-identical (pinned on CPU,
+  tests/test_deploy.py); under bf16 (the serving fast path) re-fusion can
+  flip isolated uint8 pixels on rounding knife edges — measured on real
+  TPU at flagship scale in artifacts/deploy_r3.json (same effect as baked
+  int8 constants, tests/test_quant.py). Equality contract there:
+  <= 0.1% pixels differing, mean |diff| < 0.5.
 
 Usage:
     engine = SamplerEngine(cfg, params, batch=16, num_steps=18)

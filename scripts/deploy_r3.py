@@ -2,9 +2,20 @@
 
 Exports the bench fast path (bf16 + flash + cf1 + priority, canonical
 2,800-step weights) to a serving artifact (hdmoe_tpu.deploy), loads it back,
-and checks (a) images identical to the live engine, (b) artifact-served
-throughput ~= engine throughput (both are the same XLA program; the artifact
-just reaches it through jax.export deserialization).
+and checks (a) images match the live engine within re-fusion tolerance,
+(b) artifact-served throughput ~= engine throughput.
+
+On the divergence contract: the first run of this script asserted strict
+bit-identity and FAILED on real TPU — that was the CPU fp32 contract
+(tests/test_deploy.py, where the artifact IS bit-identical) misapplied to
+the bf16 fast path. The deserialized StableHLO recompiles as a fresh XLA
+module whose fusion choices can differ from the live jit's, and under
+bf16 arithmetic that flips uint8 pixels sitting on rounding knife edges —
+the same effect already pinned for baked int8 constants
+(tests/test_quant.py::test_export_int8_artifact_smaller_and_faithful).
+This run records the measured divergence (fraction of differing pixels,
+max/mean abs diff) and asserts the quantified contract instead:
+<= 0.1% pixels differing, mean |diff| < 0.5, max |diff| <= 2.
 
 Flash uses Pallas => the artifact is TPU-only (Mosaic lowering is
 per-backend); this run is exactly the supported production flow: export on
@@ -72,7 +83,12 @@ def main():
     t_load_first = time.time() - t0
     imgs_e = engine.sample(["a photo of a flower"] * BATCH, seed=7)
     identical = bool(np.array_equal(imgs_e, imgs_l))
-    print(f"loaded+first-sample in {t_load_first:.0f}s; identical={identical}",
+    a, b = imgs_e.astype(np.int32), imgs_l.astype(np.int32)
+    frac_diff = float((a != b).mean())
+    max_abs = int(np.abs(a - b).max()) if a.size else 0
+    mean_abs = float(np.abs(a - b).mean())
+    print(f"loaded+first-sample in {t_load_first:.0f}s; identical={identical} "
+          f"frac_diff={frac_diff:.2e} max_abs={max_abs} mean_abs={mean_abs:.4f}",
           flush=True)
 
     def wall(fn):
@@ -88,6 +104,9 @@ def main():
     w_loaded = wall(lambda s: loaded.sample(prompts, seed=s))
     res = {
         "identical_images": identical,
+        "frac_pixels_diff": frac_diff,
+        "max_abs_diff": max_abs,
+        "mean_abs_diff": round(mean_abs, 5),
         "artifact_bytes": size,
         "platforms": meta["platforms"],
         "engine_img_per_sec": round(BATCH / w_engine, 1),
@@ -101,7 +120,9 @@ def main():
     print(json.dumps(res, indent=1), flush=True)
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)
-    assert identical, "artifact images diverge from the live engine"
+    assert frac_diff <= 1e-3, f"{frac_diff:.2e} of pixels differ (> 0.1%)"
+    assert mean_abs < 0.5, f"mean |diff| {mean_abs}"
+    assert max_abs <= 2, f"max |diff| {max_abs} (expected knife-edge rounding only)"
 
 
 if __name__ == "__main__":

@@ -69,6 +69,7 @@ def main():
     cf1p = replace(base_model, compute_dtype="bfloat16", use_flash=True,
                    dispatch="capacity", capacity_factor=1.0,
                    capacity_policy="priority")
+    cf2p = replace(cf1p, capacity_factor=2.0)
 
     # (name, model_cfg, solver, num_steps, quantize)
     variants = [
@@ -81,6 +82,13 @@ def main():
         # weight-only int8 spot check (ops/quant.py): expectation is
         # size-not-speed; this row pins the FID cost on real hardware
         ("heun18_cf1p_int8", cf1p, "heun", 18, "int8"),
+        # frontier completion (follow-up window): the quality-at-speed
+        # candidate, the dense low-NFE knee, and a Heun low-NFE control
+        # (2nd-order single-step degrades where the multistep holds — this
+        # row shows the solver choice, not just the NFE count, matters)
+        ("dpm20_cf2p", cf2p, "dpmpp2m", 20, "none"),
+        ("dpm14_dense", dense, "dpmpp2m", 14, "none"),
+        ("heun10_dense", dense, "heun", 10, "none"),
     ]
 
     results = {}

@@ -95,7 +95,7 @@ def process_local_batch(global_batch: int, mesh: Mesh) -> int:
     n_proc = jax.process_count()
     if global_batch % n_proc:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {n_proc}"
+            f"global batch {global_batch} must be divisible by the process count {n_proc}"
         )
     return global_batch // n_proc
 

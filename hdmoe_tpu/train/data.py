@@ -241,7 +241,7 @@ def batch_iterator(
     if shard is not None:
         pid, nproc = shard
         if batch_size % nproc:
-            raise ValueError(f"global batch {batch_size} must divide process count {nproc}")
+            raise ValueError(f"global batch {batch_size} must be divisible by the process count {nproc}")
     rng = np.random.RandomState(seed)
     n = len(dataset)
     per_epoch = len(range(0, n - batch_size + 1, batch_size))

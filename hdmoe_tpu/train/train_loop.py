@@ -309,10 +309,10 @@ def training_hdmoe(
         if run.mesh is not None:
             from hdmoe_tpu.parallel.sharding import make_sharded_train_devicegen
 
+            # state_shardings was derived once in the mesh branch above
             jit_step = make_sharded_train_devicegen(
                 step_fn, _latents_fn, text_emb, mesh, k_call,
-                state_shardings=(jax.tree_util.tree_map(lambda x: x.sharding, state)
-                                 if run.fsdp else None))
+                state_shardings=state_shardings)
         else:
             jit_step = jax.jit(
                 make_train_devicegen(step_fn, _latents_fn, text_emb, k_call), donate_argnums=0

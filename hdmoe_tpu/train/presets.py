@@ -99,6 +99,11 @@ def latent_256_clip(total_steps: int = 5000):
         dataset="synthetic-native", data_img_res=256, vae="auto", text_encoder="auto",
         total_steps=total_steps, save_dir="./checkpoints/latent256",
         run_name="latent_256_clip",
+        # augment stays None so canonical runs remain bit-comparable across
+        # rounds; for quality, AugmentConfig() (hflip 0.5 + translate 0.125)
+        # measured FID@5k 1.258 vs 1.424 control at matched 2,800 steps
+        # (artifacts/augment_ab_r3/RESULTS.json) — pass run.augment or
+        # `train --augment` to adopt it.
     )
     return model, optim, loss, _mask_cfg([3, 3, 5, 5], [4, 8, 8, 16]), run
 

@@ -253,7 +253,8 @@ def _cmd_serve(args):
               f"(batch={engine.batch}, platforms={engine.meta['platforms']})")
     else:
         engine = _build_engine(args)
-    serve(engine, host=args.host, port=args.port)
+    serve(engine, host=args.host, port=args.port,
+          pipeline=not args.no_pipeline)
 
 
 def _cmd_export(args):
@@ -477,6 +478,8 @@ def main(argv=None):
                          help="data-parallel serving: shard each sampling "
                               "batch over N devices (batch/bucket sizes must "
                               "be multiples of N; params replicate)")
+    p_serve.add_argument("--no-pipeline", action="store_true",
+                         help="disable the one-deep dispatch pipeline (fetch each batch before dispatching the next)")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8777)
     p_serve.add_argument("--artifact", default="",

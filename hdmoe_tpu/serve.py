@@ -33,7 +33,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, List, Optional
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +197,20 @@ class SamplerEngine:
         renoise stream (shared, keyed by the first request's seed; with the
         default S_churn=0 churn is inactive and coalescing is exact).
         """
+        return self.fetch_dispatched(self.dispatch_coalesced(requests))
+
+    def dispatch_coalesced(self, requests: List[tuple]) -> "_PendingBatch":
+        """Device-side half of :meth:`sample_coalesced`: enqueue the denoiser
+        scan + VAE decode and return an in-flight handle WITHOUT fetching
+        pixels to the host.
+
+        JAX dispatch is asynchronous, so this returns as soon as the work is
+        queued — the pipelined :class:`BatchingFrontend` dispatches batch
+        N+1 before fetching batch N, overlapping the next batch's device
+        compute with the previous batch's D2H transfer + per-request host
+        work (the gap scripts/serve_latency_r3.py priced: the end-to-end
+        request path ran well below the raw sampler rate).
+        """
         shape = (self.batch, self.cfg.img_resolution, self.cfg.img_resolution, self.cfg.in_channels)
         noise, all_prompts, total, k_churn = _assemble_requests(requests, self.batch, shape)
         if self.clip is not None:
@@ -205,8 +219,19 @@ class SamplerEngine:
             latents = self._sample(noise, text, k_churn)
         else:
             latents = self._sample(noise, k_churn)
-        images = np.asarray(self.vae.decode(latents))
-        return _split_results(images, requests)
+        return _PendingBatch(self.vae.decode(latents), requests)
+
+    def fetch_dispatched(self, pending: "_PendingBatch") -> List[np.ndarray]:
+        """Host-side half of :meth:`sample_coalesced`: block on the device
+        result, fetch the pixels, and split them back per request."""
+        return _split_results(np.asarray(pending.images_dev), pending.requests)
+
+
+class _PendingBatch(NamedTuple):
+    """In-flight coalesced batch: device pixel array + the request split."""
+
+    images_dev: Any
+    requests: List[tuple]
 
 
 def _assemble_requests(requests: List[tuple], batch: int, shape: tuple):
@@ -283,9 +308,23 @@ class BucketedEngine:
         return self.sample_coalesced([(prompts, seed)])[0]
 
     def sample_coalesced(self, requests: List[tuple]) -> List[np.ndarray]:
+        return self.fetch_dispatched(self.dispatch_coalesced(requests))
+
+    def dispatch_coalesced(self, requests: List[tuple]) -> "_PendingBucket":
         total = sum(len(p) for p, _ in requests)
         self.last_bucket = self.pick_bucket(total)
-        return self.engines[self.last_bucket].sample_coalesced(requests)
+        eng = self.engines[self.last_bucket]
+        return _PendingBucket(eng.dispatch_coalesced(requests), eng)
+
+    def fetch_dispatched(self, pending: "_PendingBucket") -> List[np.ndarray]:
+        return pending.engine.fetch_dispatched(pending.pending)
+
+
+class _PendingBucket(NamedTuple):
+    """In-flight bucketed batch: the inner handle + the engine that owns it."""
+
+    pending: _PendingBatch
+    engine: SamplerEngine
 
 
 class ServeMetrics:
@@ -360,10 +399,20 @@ class BatchingFrontend:
     One worker thread owns the engine; concurrent ``submit`` calls enqueue
     and the worker coalesces as many queued requests as fit in the engine
     batch into a single compiled run (round-1 review: ThreadingHTTPServer
-    dispatched concurrent POSTs straight into ``engine.sample``)."""
+    dispatched concurrent POSTs straight into ``engine.sample``).
 
-    def __init__(self, engine: SamplerEngine):
+    With ``pipeline=True`` (default) the worker keeps ONE batch in flight:
+    it dispatches batch N+1's device work (async JAX dispatch — the call
+    returns once enqueued) before fetching batch N's pixels, so the next
+    batch's denoiser scan overlaps the previous batch's D2H transfer and
+    per-request host work. Under back-to-back load this moves the served
+    rate toward the raw sampler rate (scripts/serve_latency_r3.json priced
+    the sequential request path well below it); a lone request is fetched
+    immediately (the queue is empty), so tail latency is unchanged."""
+
+    def __init__(self, engine: SamplerEngine, pipeline: bool = True):
         self.engine = engine
+        self.pipeline = pipeline
         self.metrics = ServeMetrics()
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -384,8 +433,18 @@ class BatchingFrontend:
         return item["result"]
 
     def _run(self):
+        pending = None  # (in-flight handle, its batch_items)
         while True:
-            first = self._q.get()
+            if pending is not None:
+                try:
+                    first = self._q.get_nowait()
+                except queue.Empty:
+                    # nothing new queued while the device works: fetch now
+                    self._finish(pending)
+                    pending = None
+                    continue
+            else:
+                first = self._q.get()
             batch_items = [first]
             room = self.engine.batch - len(first["prompts"])
             # coalesce whatever is already queued and fits
@@ -400,28 +459,58 @@ class BatchingFrontend:
                 else:  # doesn't fit: run it in its own later batch
                     self._q.put(nxt)
                     break
+            dispatched = None
             try:
-                results = self.engine.sample_coalesced(
+                handle = self.engine.dispatch_coalesced(
                     [(it["prompts"], it["seed"]) for it in batch_items]
                 )
-                for it, res in zip(batch_items, results):
-                    it["result"] = res
+                # bucket captured NOW: by finish time a later dispatch may
+                # have overwritten engine.last_bucket (pipelining)
+                dispatched = (handle, batch_items,
+                              getattr(self.engine, "last_bucket", None))
             except Exception as e:  # noqa: BLE001 — handed back to the callers
                 for it in batch_items:
                     it["error"] = e
-            finally:
                 self.metrics.record_run(getattr(self.engine, "last_bucket", None))
                 for it in batch_items:
                     it["done"].set()
+            # deliver the PREVIOUS batch only after the next one is enqueued
+            if pending is not None:
+                self._finish(pending)
+                pending = None
+            if dispatched is not None:
+                if self.pipeline:
+                    pending = dispatched
+                else:
+                    self._finish(dispatched)
+
+    def _finish(self, dispatched):
+        """Fetch an in-flight batch and hand each request its images.
+
+        Device-side errors surface at the fetch (async dispatch defers
+        them), so the error path here mirrors the dispatch-time one."""
+        handle, batch_items, bucket = dispatched
+        try:
+            results = self.engine.fetch_dispatched(handle)
+            for it, res in zip(batch_items, results):
+                it["result"] = res
+        except Exception as e:  # noqa: BLE001 — handed back to the callers
+            for it in batch_items:
+                it["error"] = e
+        finally:
+            self.metrics.record_run(bucket)
+            for it in batch_items:
+                it["done"].set()
 
 
-def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
+def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777,
+                pipeline: bool = True):
     """Build (but don't start) the HTTP server; ``port=0`` binds a free one.
 
     Returns a ``ThreadingHTTPServer`` whose actual port is
     ``server_address[1]`` — tests use port 0 so concurrent pytest processes
     never collide on a fixed port."""
-    frontend = BatchingFrontend(engine)
+    frontend = BatchingFrontend(engine, pipeline=pipeline)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -493,8 +582,9 @@ def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777):
+def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777,
+          pipeline: bool = True):
     """Blocking HTTP server around a SamplerEngine (queued + coalescing)."""
-    httpd = make_server(engine, host, port)
+    httpd = make_server(engine, host, port, pipeline=pipeline)
     print(f"serving on http://{host}:{httpd.server_address[1]} (batch={engine.batch})")
     httpd.serve_forever()

@@ -147,7 +147,7 @@ def test_serve_metrics_counters_and_buckets(engine):
     class Boom:
         batch = 2
 
-        def sample_coalesced(self, reqs):
+        def dispatch_coalesced(self, reqs):
             raise RuntimeError("boom")
 
     fe2 = BatchingFrontend(Boom())
@@ -301,3 +301,82 @@ def test_cli_serve_mesh_validation():
     )
     assert r.returncode != 0
     assert "multiple of" in (r.stderr + r.stdout)
+
+
+def test_dispatch_fetch_matches_sample_coalesced(engine):
+    """The staged dispatch/fetch pair is exactly sample_coalesced split in
+    two (the pipelined frontend's contract)."""
+    reqs = [(["a flower"], 1), (["a rose", "a tulip"], 7)]
+    direct = engine.sample_coalesced(reqs)
+    staged = engine.fetch_dispatched(engine.dispatch_coalesced(reqs))
+    for a, b in zip(direct, staged):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bucketed_dispatch_fetch_and_pipelined_frontend():
+    """BucketedEngine's staged pair routes to the right bucket and a
+    pipelined frontend over it returns per-request images (the in-flight
+    handle carries its owning engine across bucket switches)."""
+    from hdmoe_tpu.serve import BatchingFrontend, BucketedEngine
+
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    be = BucketedEngine(cfg, params, buckets=(1, 4), num_steps=2)
+    staged = be.fetch_dispatched(be.dispatch_coalesced([(["p"], 3)]))
+    assert be.last_bucket == 1
+    np.testing.assert_array_equal(staged[0], be.sample(["p"], seed=3))
+
+    fe = BatchingFrontend(be, pipeline=True)
+    exp = {s: be.sample(["p"], seed=s) for s in range(4)}
+    for s in range(4):  # sequential back-to-back: each drains the pipeline
+        np.testing.assert_array_equal(fe.submit(["p"], seed=s), exp[s])
+
+
+def test_frontend_pipeline_concurrent_correctness(engine):
+    """Concurrent submits through the PIPELINED frontend each get their own
+    request's images (overlapped batches don't swap results)."""
+    from hdmoe_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(engine, pipeline=True)
+    expected = {s: engine.sample(["p"], seed=s) for s in range(8)}
+    results: dict = {}
+    errors: list = []
+
+    def client(s):
+        try:
+            results[s] = fe.submit(["p"], seed=s)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors and set(results) == set(range(8))
+    for s in range(8):
+        np.testing.assert_array_equal(results[s], expected[s])
+
+
+def test_frontend_fetch_error_propagates():
+    """Device errors surface at the FETCH under async dispatch; the
+    pipelined frontend hands them to the batch's submitters (and keeps
+    serving afterwards)."""
+    from hdmoe_tpu.serve import BatchingFrontend
+
+    class FetchBoom:
+        batch = 4
+
+        def dispatch_coalesced(self, requests):
+            return ("handle", requests)
+
+        def fetch_dispatched(self, pending):
+            raise RuntimeError("boom at fetch")
+
+    fe = BatchingFrontend(FetchBoom(), pipeline=True)
+    with pytest.raises(RuntimeError, match="boom at fetch"):
+        fe.submit(["p"], seed=0)
+    assert fe.metrics.errors_total == 1
+    with pytest.raises(RuntimeError, match="boom at fetch"):
+        fe.submit(["q"], seed=1)
+    assert fe.metrics.errors_total == 2

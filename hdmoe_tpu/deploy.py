@@ -62,7 +62,8 @@ import numpy as np
 
 from hdmoe_tpu.adapters import make_text_encoder
 from hdmoe_tpu.ops import mp as mp_ops
-from hdmoe_tpu.serve import SamplerEngine, _assemble_requests, _split_results
+from hdmoe_tpu.serve import (SamplerEngine, _PendingBatch, _assemble_requests,
+                             _split_results)
 
 _FORMAT_VERSION = 1
 
@@ -197,6 +198,13 @@ class ExportedSampler:
         return self.sample_coalesced([(prompts, seed)])[0]
 
     def sample_coalesced(self, requests: List[tuple]) -> List[np.ndarray]:
+        return self.fetch_dispatched(self.dispatch_coalesced(requests))
+
+    def dispatch_coalesced(self, requests: List[tuple]) -> _PendingBatch:
+        """Staged half of the SamplerEngine request API (async enqueue of the
+        exported program, pixels NOT fetched) — the pipelined
+        BatchingFrontend drives artifact serving exactly like a live
+        engine."""
         noise, all_prompts, total, k_churn = _assemble_requests(
             requests, self.batch, self._shape
         )
@@ -205,8 +213,10 @@ class ExportedSampler:
             text = self.clip.encode_text(padded)
         else:
             text = self._text_placeholder
-        images = np.asarray(self._call(noise, text, k_churn))
-        return _split_results(images, requests)
+        return _PendingBatch(self._call(noise, text, k_churn), requests)
+
+    def fetch_dispatched(self, pending: _PendingBatch) -> List[np.ndarray]:
+        return _split_results(np.asarray(pending.images_dev), pending.requests)
 
 
 def load_sampler(path: str) -> ExportedSampler:

@@ -115,3 +115,22 @@ def test_wrong_backend_artifact_rejected(engine, artifact, tmp_path):
         z.writestr("sampler.bin", blob)
     with pytest.raises(ValueError, match="exported for"):
         ExportedSampler(bad)
+
+
+def test_loaded_artifact_through_pipelined_frontend(engine, artifact):
+    """ExportedSampler implements the staged dispatch/fetch API, so the
+    default (pipelined) BatchingFrontend serves artifacts unchanged —
+    regression for the frontend's engine-interface widening."""
+    import numpy as np
+
+    from hdmoe_tpu.serve import BatchingFrontend
+
+    path, _ = artifact
+    sampler = load_sampler(path)
+    staged = sampler.fetch_dispatched(sampler.dispatch_coalesced([(["p"], 5)]))
+    np.testing.assert_array_equal(staged[0], sampler.sample(["p"], seed=5))
+
+    fe = BatchingFrontend(sampler, pipeline=True)
+    for s in (1, 2):
+        np.testing.assert_array_equal(fe.submit(["p"], seed=s),
+                                      sampler.sample(["p"], seed=s))

@@ -114,28 +114,31 @@ def main():
     def fast(cfg_kw):
         return replace(base_model, compute_dtype="bfloat16", use_flash=True, **cfg_kw)
 
+    # (model_cfg, solver, num_steps)
+    cf2p = {"dispatch": "capacity", "capacity_factor": 2.0, "capacity_policy": "priority"}
+    cf1p = {"dispatch": "capacity", "capacity_factor": 1.0, "capacity_policy": "priority"}
     variants = {
-        "bf16_flash_dense": fast({"dispatch": "dense"}),
-        "bf16_flash_cf2_priority": fast(
-            {"dispatch": "capacity", "capacity_factor": 2.0, "capacity_policy": "priority"}
-        ),
-        "bf16_flash_cf1_priority": fast(
-            {"dispatch": "capacity", "capacity_factor": 1.0, "capacity_policy": "priority"}
-        ),
+        "bf16_flash_dense": (fast({"dispatch": "dense"}), "heun", NUM_STEPS),
+        "bf16_flash_cf2_priority": (fast(cf2p), "heun", NUM_STEPS),
+        "bf16_flash_cf1_priority": (fast(cf1p), "heun", NUM_STEPS),
+        # the round-3 solver-dial sweet spot (dpm_eval_r3.json: tower-FID
+        # 1.017 @ 205 img/s at 5k) confirmed at the north-star budget
+        "dpm20_cf2_priority": (fast(cf2p), "dpmpp2m", 20),
     }
 
     results = {}
     if os.path.exists(OUT):
         results.update(json.load(open(OUT)))
     only = os.environ.get("FID_ONLY", "")
-    for name, cfg in variants.items():
+    for name, (cfg, solver, num_steps) in variants.items():
         if only and name not in only.split(","):
             continue
         if name in results:
             continue
         t0 = time.time()
         engine = SamplerEngine(
-            cfg, params, batch=BATCH, num_steps=NUM_STEPS, vae_kind="fake", text_kind="fake")
+            cfg, params, batch=BATCH, num_steps=num_steps, vae_kind="fake",
+            text_kind="fake", solver=solver)
         print(f"[{name}] engine ready in {time.time()-t0:.0f}s", flush=True)
 
         # Resumable gen-side moments: the gen stream is deterministic in the
@@ -171,7 +174,7 @@ def main():
         results[name] = {
             "fid": round(float(fid), 4),
             "n": N,
-            "nfe": 2 * NUM_STEPS - 1,
+            "nfe": engine.nfe,
             "tower": "random-conv",
             "real_roundtrip": True,
             "wall_s": round(time.time() - t0, 1),

@@ -31,28 +31,31 @@ def test_package_import_enables_repo_cache_dir():
 
 
 def test_cache_writes_an_entry(tmp_path):
-    prev_dir = jax.config.jax_compilation_cache_dir
-    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
-    try:
-        cache_dir = str(tmp_path / "cache")
-        assert enable_persistent_cache(cache_dir, min_compile_secs=0.0) == cache_dir
-        # a fresh non-trivial program (unique constant so no earlier in-memory
-        # executable is reused)
-        @jax.jit
-        def f(x):
-            return jnp.tanh(x @ x.T) * 12345.678
+    """Entries are written once the threshold is met.
 
-        f(jnp.ones((64, 64))).block_until_ready()
-        entries = os.listdir(cache_dir)
-        assert entries, "no cache entry written at min_compile_secs=0"
-    finally:
-        jax.config.update("jax_compilation_cache_dir", prev_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
-        # reset the module's idempotency latch so later callers can re-enable
-        import hdmoe_tpu.compilecache as cc
-
-        cc._enabled_dir = None
-        enable_persistent_cache(prev_dir)
+    Runs in a SUBPROCESS: JAX's persistent-cache object latches on the
+    first cacheable compile of the process, so re-pointing the dir from
+    inside a long pytest run (where earlier tests already compiled) is
+    silently ignored — this test failed under full-suite ordering when it
+    mutated the live process's config (round-3 find). The production path
+    configures the cache at package import, before any compile, so only
+    the in-process re-point was unsound, not the feature."""
+    cache_dir = str(tmp_path / "cache")
+    env = dict(os.environ, HDMOE_COMPILE_CACHE=cache_dir,
+               JAX_PLATFORM_NAME="cpu", PYTHONDONTWRITEBYTECODE="1")
+    prog = (
+        "import jax, jax.numpy as jnp, hdmoe_tpu\n"
+        "from hdmoe_tpu.compilecache import enable_persistent_cache\n"
+        "import hdmoe_tpu.compilecache as cc\n"
+        "cc._enabled_dir = None\n"  # re-enter to lower the threshold
+        f"assert enable_persistent_cache({cache_dir!r}, min_compile_secs=0.0)\n"
+        "f = jax.jit(lambda x: jnp.tanh(x @ x.T) * 12345.678)\n"
+        "f(jnp.ones((64, 64))).block_until_ready()\n"
+    )
+    out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                         text=True, env=env, cwd=REPO, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert os.listdir(cache_dir), "no cache entry written at min_compile_secs=0"
 
 
 def test_env_kill_switch():

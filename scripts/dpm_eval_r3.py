@@ -89,6 +89,10 @@ def main():
         ("dpm20_cf2p", cf2p, "dpmpp2m", 20, "none"),
         ("dpm14_dense", dense, "dpmpp2m", 14, "none"),
         ("heun10_dense", dense, "heun", 10, "none"),
+        # does the cf=2.0 quality dial hold at 14 NFE? (cf1p did: ~2.08
+        # flat 35->14; if cf2p holds ~1.0 this is ~280 img/s at dense-grade
+        # tower-FID)
+        ("dpm14_cf2p", cf2p, "dpmpp2m", 14, "none"),
     ]
 
     results = {}

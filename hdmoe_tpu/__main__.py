@@ -188,6 +188,24 @@ def _cmd_fid(args):
     print(json.dumps(out))
 
 
+# measured serving operating points (PERF.md solver-dial table, canonical
+# checkpoint): model-config overrides + (solver, num_steps) per dial. The
+# img/s figures are loaded-host v5e; FID is the hermetic random-conv tower.
+SERVE_DIALS = {
+    # reference-faithful fp32 dense Heun-35 (FID anchor 1.43, ~75 img/s)
+    "parity": (dict(), "heun", 18),
+    # dpm20 + cf=2.0 priority: tower-FID 1.02 (beats the dense anchor),
+    # 205 img/s; confirmed at 50k (1.0301, fid50k_r3.json)
+    "quality": (dict(compute_dtype="bfloat16", use_flash=True,
+                     dispatch="capacity", capacity_factor=2.0,
+                     capacity_policy="priority"), "dpmpp2m", 20),
+    # dpm14 + cf=1.0 priority: 359 img/s at the capacity dial's FID ~2.09
+    "throughput": (dict(compute_dtype="bfloat16", use_flash=True,
+                        dispatch="capacity", capacity_factor=1.0,
+                        capacity_policy="priority"), "dpmpp2m", 14),
+}
+
+
 def _build_engine(args):
     """Shared by serve/export: preset/checkpoint -> SamplerEngine."""
     from hdmoe_tpu.models import default_model_config, precond_init
@@ -204,6 +222,15 @@ def _build_engine(args):
         cfg = builder()[0]
     else:
         cfg = default_model_config()
+    dial = getattr(args, "dial", "")
+    if dial:
+        from dataclasses import replace as _replace
+
+        if dial not in SERVE_DIALS:
+            sys.exit(f"unknown --dial '{dial}'; available: {sorted(SERVE_DIALS)}")
+        overrides, solver, steps = SERVE_DIALS[dial]
+        cfg = _replace(cfg, **overrides)
+        args.solver, args.steps = solver, steps
     # validate mesh divisibility BEFORE the (expensive) param init/compile
     mesh_n = int(getattr(args, "mesh", 0) or 0)
     buckets = getattr(args, "buckets", "")
@@ -468,6 +495,10 @@ def main(argv=None):
     p_serve.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
     p_serve.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
     p_serve.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])
+    p_serve.add_argument("--dial", default="", choices=["", "parity", "quality", "throughput"],
+                         help="measured operating point (PERF.md solver-dial table): "
+                              "sets model dtype/dispatch overrides AND solver+steps "
+                              "(overriding --solver/--steps); batch/buckets/mesh/quantize still apply")
     p_serve.add_argument("--quantize", default="none", choices=["none", "int8"],
                          help="weight-only int8 (smaller params/artifact; fp32 math elsewhere)")
     p_serve.add_argument("--buckets", default="",

@@ -65,3 +65,30 @@ def test_cli_posthoc_ema_roundtrip(tmp_path):
     r = _run(["posthoc-ema", "--snapshots", str(tmp_path / "missing.npz"),
               "--out", str(tmp_path / "out")])
     assert r.returncode != 0
+
+
+def test_serve_dials_are_valid_config_overrides():
+    """SERVE_DIALS (the measured operating points behind `serve --dial`)
+    must stay appliable to HDMOEMConfig — guards the dial table against
+    config-field renames — and name real solvers."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.__main__ import SERVE_DIALS
+    from hdmoe_tpu.sampler.dpm import make_sampler, solver_nfe
+    from tests.test_model import tiny_cfg
+
+    assert set(SERVE_DIALS) == {"parity", "quality", "throughput"}
+    for name, (overrides, solver, steps) in SERVE_DIALS.items():
+        cfg = replace(tiny_cfg(), **overrides)  # raises on unknown field
+        make_sampler(solver)  # raises on unknown solver
+        assert solver_nfe(solver, steps) >= steps
+        if name == "quality":
+            assert cfg.capacity_factor == 2.0 and cfg.capacity_policy == "priority"
+        if name == "throughput":
+            assert solver_nfe(solver, steps) == 14
+
+
+def test_cli_serve_rejects_unknown_dial():
+    r = _run(["serve", "--dial", "warp9"])
+    assert r.returncode != 0
+    assert "--dial" in r.stderr or "invalid choice" in r.stderr

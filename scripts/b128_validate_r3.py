@@ -71,7 +71,7 @@ def main():
             walls.append(time.time() - t0)
         return sorted(walls)[len(walls) // 2]
 
-    for batch, want_fid in ((128, True), (256, False)):
+    for batch, want_fid in ((128, True), (256, True), (512, True), (1024, False)):
         name = f"heun18_cf1p_b{batch}"
         if name in results:
             print(f"[{name}] recorded; skipping", flush=True)

@@ -38,11 +38,20 @@ from dataclasses import replace
 import jax
 import jax.numpy as jnp
 
-BATCH = 32
+# Per-path batch sizes, each at its measured optimum (round-3 batch
+# sweeps; the old shared batch=32 dates to the pre-flash cf=2 regime):
+#  - fast path knee is 512 (artifacts/b128_validate_r3.json: 203.8 ->
+#    241.4 -> 270.7 img/s at b128/256/512, b1024 regresses; FID@5k is
+#    batch-independent on the priority dial - 1.970/1.973/1.973)
+#  - fp32-dense parity path peaks at 128 (artifacts/parity_batch_probe.json:
+#    72.1 @ b32, 115.2 @ b128, lower at 256/512) so vs_baseline compares
+#    best-against-best
+FAST_BATCH = 512
+PARITY_BATCH = 128
 HEUN_STEPS = 18  # 2*18-1 = 35 NFE
 
 
-def _measure(cfg, params, text, noise, n_runs=3, folded=False):
+def _measure(cfg, params, text, noise, batch, n_runs=3, folded=False):
     from hdmoe_tpu.models import precond_apply
     from hdmoe_tpu.ops import mp as mp_ops
     from hdmoe_tpu.sampler import EDMSamplerConfig, edm_sample, make_denoiser
@@ -76,7 +85,7 @@ def _measure(cfg, params, text, noise, n_runs=3, folded=False):
     float(out[0, 0, 0, 0])
     elapsed = (time.perf_counter() - t0) / n_runs
 
-    sigma = jnp.full((BATCH, 1, 1, 1), 0.5)
+    sigma = jnp.full((batch, 1, 1, 1), 0.5)
     with ctx():
         fwd = jax.jit(lambda x: denoiser(x, sigma, text)).lower(noise).compile()
     r = fwd(noise)
@@ -87,7 +96,7 @@ def _measure(cfg, params, text, noise, n_runs=3, folded=False):
         r = fwd(noise)
     float(r[0, 0, 0, 0])
     step_ms = (time.perf_counter() - t0) / 50 * 1000.0
-    return BATCH / elapsed, step_ms, elapsed
+    return batch / elapsed, step_ms, elapsed
 
 
 def _arm_watchdog(minutes: float, what: str):
@@ -134,10 +143,13 @@ def main():
     key = jax.random.PRNGKey(0)
     base_cfg = default_model_config()
     params = jax.jit(lambda k: precond_init(k, base_cfg))(key)
-    text = jax.random.normal(key, (BATCH, 77, base_cfg.text_emb_dim))
-    noise = jax.random.normal(key, (BATCH, base_cfg.img_resolution, base_cfg.img_resolution, base_cfg.in_channels))
+    def _inputs(batch):
+        return (jax.random.normal(key, (batch, 77, base_cfg.text_emb_dim)),
+                jax.random.normal(key, (batch, base_cfg.img_resolution,
+                                        base_cfg.img_resolution, base_cfg.in_channels)))
 
-    parity_ips, parity_ms, _ = _measure(base_cfg, params, text, noise)
+    text_p, noise_p = _inputs(PARITY_BATCH)
+    parity_ips, parity_ms, _ = _measure(base_cfg, params, text_p, noise_p, PARITY_BATCH)
 
     from hdmoe_tpu.train.optim import project_mp_weights
 
@@ -149,8 +161,9 @@ def main():
         # artifacts/serving_dial_r3.json)
         capacity_policy="priority",
     )
+    text_f, noise_f = _inputs(FAST_BATCH)
     fast_ips, fast_ms, fast_wall = _measure(
-        fast_cfg, project_mp_weights(params), text, noise, folded=True
+        fast_cfg, project_mp_weights(params), text_f, noise_f, FAST_BATCH, folded=True
     )
 
     print(
@@ -174,7 +187,8 @@ def main():
                 "denoiser_standalone_call_ms": round(fast_ms, 2),
                 "parity_f32_dense_images_per_sec": round(parity_ips, 4),
                 "parity_f32_dense_step_ms": round(parity_ms, 2),
-                "batch": BATCH,
+                "batch": FAST_BATCH,
+                "parity_batch": PARITY_BATCH,
                 "nfe": 2 * HEUN_STEPS - 1,
                 "device": str(dev),
                 "sample_wall_s": round(fast_wall, 3),

@@ -43,7 +43,7 @@ def main():
     results = {}
     if os.path.exists(OUT):
         results.update(json.load(open(OUT)))
-    for batch in (32, 64, 128):
+    for batch in (32, 64, 128, 256, 512):
         name = f"dpm14_cf1p_b{batch}"
         if name in results:
             continue

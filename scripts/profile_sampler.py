@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "artifacts/profile_r2"
-BATCH = 32
+BATCH = int(os.environ.get("PROFILE_BATCH", "32"))
 HEUN_STEPS = 18
 
 # v5e peak: 197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (public spec)

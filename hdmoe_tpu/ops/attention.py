@@ -30,6 +30,7 @@ The softmax(QK^T+bias)V core has three implementations, selected by ``impl``
 
 from __future__ import annotations
 
+import contextvars
 import math
 from contextlib import contextmanager
 from typing import Optional
@@ -40,6 +41,26 @@ import jax.numpy as jnp
 from hdmoe_tpu.ops import mp
 
 _RING_CTX: list = []  # trace-time stack of (mesh, axis)
+
+# Trace-time switch for the flash input layout. "t" (default) routes
+# small-head flash attention through the transposed pipeline: projections
+# emit (B, C, L) (their natural MXU output orientation), the kernel consumes
+# (B, H, d, L) as a free bitcast, and the out-projection contracts the
+# transposed result directly — eliminating the {2,1,3,0}->{3,2,1,0} layout
+# copies that cost ~12% of sampler device time at batch 512
+# (artifacts/profile_r3_b512). "std" forces the original (B, H, L, d) path
+# (the A/B control; also what dense/ring always use).
+_ATTN_LAYOUT = contextvars.ContextVar("mp_attn_layout", default="t")
+
+
+@contextmanager
+def attn_layout(layout: str):
+    assert layout in ("t", "std"), layout
+    tok = _ATTN_LAYOUT.set(layout)
+    try:
+        yield
+    finally:
+        _ATTN_LAYOUT.reset(tok)
 
 
 @contextmanager
@@ -120,6 +141,43 @@ def mp_attention_apply(
     b, seq_len, emb_dim = query.shape
     head_dim = emb_dim // num_heads
     ctx = query if context is None else context
+
+    # Transposed fast path: small-head flash consumes the projections'
+    # natural L-minor matmul output as (B, H, d, L) bitcasts — no XLA layout
+    # copies in or out (see attn_layout above). Biased (self-attn) calls
+    # need Lk % 16 == 0 for the pre-transposed bias tile; every TMSA
+    # sequence ((res/patch)^2) satisfies it.
+    impl_resolved = impl or ("flash" if use_flash else "dense")
+    if (
+        impl_resolved == "flash"
+        and _ATTN_LAYOUT.get() == "t"
+        and head_dim <= 32
+        and ctx.shape[1] <= 4096
+        and (is_cross_attn or ctx.shape[1] % 16 == 0)
+    ):
+        from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+        lk = ctx.shape[1]
+        q_t = mp.mp_linear_apply_t(params["q_proj"], query, gain=gain_s)  # (B, C, Lq)
+        k_t = mp.mp_linear_apply_t(params["k_proj"], ctx, gain=gain_s)
+        v_t = mp.mp_linear_apply_t(params["v_proj"], ctx, gain=gain_s)
+        if "q_time" in params and time_embedding is not None:
+            t = time_embedding.reshape(b, -1)
+            q_t = q_t + mp.mp_conv_apply(params["q_time"], t, gain=gain_t)[:, :, None]
+            if not is_cross_attn:
+                k_t = k_t + mp.mp_conv_apply(params["k_time"], t, gain=gain_t)[:, :, None]
+                v_t = v_t + mp.mp_conv_apply(params["v_time"], t, gain=gain_t)[:, :, None]
+        bias = None if is_cross_attn else _resolve_bias(params["rel_pos_bias"], seq_len)
+        out_t = flash_attention_t(
+            q_t.reshape(b, num_heads, head_dim, seq_len),
+            k_t.reshape(b, num_heads, head_dim, lk),
+            v_t.reshape(b, num_heads, head_dim, lk),
+            bias=bias,
+        )
+        out = mp.mp_linear_consume_t(
+            params["out_proj"], out_t.reshape(b, emb_dim, seq_len), gain=gain_s
+        )
+        return mp.mp_sum(res, out, attn_balance)
 
     q = mp.mp_conv_apply(params["q_proj"], query.reshape(-1, emb_dim), gain=gain_s).reshape(b, seq_len, emb_dim)
     k = mp.mp_conv_apply(params["k_proj"], ctx.reshape(-1, ctx.shape[-1]), gain=gain_s).reshape(b, ctx.shape[1], emb_dim)

@@ -254,6 +254,33 @@ def _mp_weight(params: dict, gain) -> jnp.ndarray:
     return w * (gain / math.sqrt(fan_in))
 
 
+def mp_linear_apply_t(params: dict, x: jnp.ndarray, gain=1.0) -> jnp.ndarray:
+    """Transposed MP linear: x (B, L, Cin) -> (B, Cout, L).
+
+    Identical math to :func:`mp_conv_apply`'s 2-D path, but with the output
+    feature axis MAJOR. On TPU the matmul's natural output layout is
+    L-minor; asking for (B, L, Cout) and then head-splitting to (B, H, L, d)
+    for the flash kernel forces XLA to materialize a {2,1,3,0}->{3,2,1,0}
+    layout copy at 8-byte run granularity (~1.6 ms per 32 MB at batch 512 —
+    artifacts/profile_r3_b512). This output feeds flash_attention_t as a
+    free (B, H, d, L) bitcast instead.
+    """
+    w = _mp_weight(params, gain).astype(x.dtype)  # (out, in)
+    return jnp.einsum("ble,oe->bol", x, w)
+
+
+def mp_linear_consume_t(params: dict, x_t: jnp.ndarray, gain=1.0) -> jnp.ndarray:
+    """MP linear consuming a transposed operand: x_t (B, Cin, L) -> (B, L, Cout).
+
+    The inverse boundary of :func:`mp_linear_apply_t`: contracts the major
+    feature axis of a transposed activation directly, so the attention
+    output projection reads the flash_attention_t output without a layout
+    copy and re-enters the (B, L, C) residual-stream world.
+    """
+    w = _mp_weight(params, gain).astype(x_t.dtype)  # (out, in)
+    return jnp.einsum("bil,oi->blo", x_t, w)
+
+
 def mp_conv_apply(params: dict, x: jnp.ndarray, gain=1.0, stride: int = 1) -> jnp.ndarray:
     """Forward of MP conv/linear (model_internals.py:240-275).
 

@@ -671,3 +671,173 @@ def flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash(q, k, v, bias, block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout entry: (B, H, D, L) in and out.
+#
+# The b512 sampler profile (artifacts/profile_r3_b512) showed ~12% of device
+# time in XLA layout copies bracketing the flash kernel: the q/k/v projection
+# matmuls naturally emit an L-minor layout, the (B, H, L, d)-taking kernel
+# demands d-minor, and the resulting {2,1,3,0}->{3,2,1,0} copies move 32 MB
+# in 8-byte runs (~40 GB/s). This entry consumes the projections' natural
+# orientation directly: q/k/v arrive (B, H, D, L) — a free bitcast of the
+# transposed projection output (ops/mp.py:mp_linear_apply_t) — and the
+# output leaves (B, H, D, L), which the out-projection contracts without a
+# copy (mp.py:mp_linear_consume_t). The kernel math is the small-head
+# kernel's, one index shuffle earlier: st = kT^T qT is ALREADY the
+# transposed score layout the sublane softmax wants, and ot = vT p is a
+# plain matmul.
+# ---------------------------------------------------------------------------
+
+
+def _smallhead_kernel_t(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
+    q = q_ref[0]  # (dp, block_q)
+    k = k_ref[0]  # (dp, Lk)
+    v = v_ref[0]  # (dp, Lk)
+    # s^T: (Lk, block_q) — contract d (dim 0 of both operands)
+    st = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    st = st * sm_scale
+    m = jnp.max(st, axis=0, keepdims=True)  # sublane reduction
+    p = jnp.exp(st - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    # out^T = V^T P : (dp, Lk) @ (Lk, block_q) -> (dp, block_q)
+    ot = jax.lax.dot_general(v, p.astype(v.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (ot / l).astype(o_ref.dtype)
+
+
+def _smallhead_bias_kernel_t(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    st = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    st = st * sm_scale + bias_ref[0].astype(jnp.float32)  # bias pre-transposed (Lk, Lq)
+    m = jnp.max(st, axis=0, keepdims=True)
+    p = jnp.exp(st - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    ot = jax.lax.dot_general(v, p.astype(v.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (ot / l).astype(o_ref.dtype)
+
+
+def _smallhead_forward_t(qT, kT, vT, bias, *, block_q: int, interpret: bool):
+    b, h, d, lq = qT.shape
+    lk = kT.shape[3]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = max(8, min(block_q, lq))
+    qT = _pad_axis(qT, 3, block_q)
+    lqp = qT.shape[3]
+    bh = b * h
+    qr = qT.reshape(bh, d, lqp)
+    kr = kT.reshape(bh, d, lk)
+    vr = vT.reshape(bh, d, lk)
+
+    grid = (bh, lqp // block_q)
+    in_specs = [
+        pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),
+        pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),
+        pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),
+    ]
+    operands = [qr, kr, vr]
+    if bias is not None:
+        bias_h = bias.shape[0]
+        # scores live transposed: bias (H, Lq, Lk) -> (H, Lk, Lq)
+        bias_t = _pad_axis(_pad_axis(jnp.swapaxes(bias, 1, 2).astype(jnp.float32), 1, 16), 2, block_q)
+        lkp_b = bias_t.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, lkp_b, block_q),
+                (lambda bhi, i: (bhi % bias_h, 0, i)) if bias_h > 1 else (lambda bhi, i: (0, 0, i)),
+            )
+        )
+        operands.append(bias_t)
+        # the padded bias rows (lk..lkp_b) would add exp(0) mass: the biased
+        # kernel must mask them — only reachable when lk % 16 != 0, and the
+        # bias rows are zero there, so mask via the score instead.
+        if lkp_b != lk:
+            raise NotImplementedError(
+                "flash_attention_t biased path needs Lk % 16 == 0 "
+                f"(got Lk={lk}); use flash_attention for ragged kv lengths"
+            )
+        kernel = functools.partial(_smallhead_bias_kernel_t, sm_scale=sm_scale)
+    else:
+        kernel = functools.partial(_smallhead_kernel_t, sm_scale=sm_scale)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, d, lqp), qT.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, h, d, lqp)[:, :, :, :lq]
+
+
+def _transposed_eligible(d: int, lk: int) -> bool:
+    """The small-head single-pass regime, i.e. where the transposed layout
+    has a kernel. Mirrors _flash_forward's specialization condition."""
+    return d <= 32 and lk <= 4096
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_t(qT, kT, vT, bias, block_q, interpret):
+    b, h, d, lq = qT.shape
+    lk = kT.shape[3]
+    if _transposed_eligible(d, lk):
+        bq = min(block_q, 256 if lk <= 2048 else 128)
+        return _smallhead_forward_t(qT, kT, vT, bias, block_q=bq, interpret=interpret)
+    # outside the small-head regime: pay the transposes, reuse the blocked kernel
+    tr = lambda t: jnp.swapaxes(t, 2, 3)  # noqa: E731
+    return tr(_flash_forward(tr(qT), tr(kT), tr(vT), bias,
+                             block_q=block_q, block_k=512, interpret=interpret))
+
+
+def _flash_t_fwd(qT, kT, vT, bias, block_q, interpret):
+    out = _flash_t(qT, kT, vT, bias, block_q, interpret)
+    return out, (qT, kT, vT, bias, out)
+
+
+def _flash_t_bwd(block_q, interpret, residuals, gT):
+    qT, kT, vT, bias, outT = residuals
+    tr = lambda t: jnp.swapaxes(t, 2, 3)  # noqa: E731
+    if bias is None:
+        lk = kT.shape[3]
+        dq, dk, dv = _flash_backward_nobias(
+            tr(qT), tr(kT), tr(vT), tr(outT), tr(gT),
+            block_q=block_q, block_k=512, interpret=interpret,
+        )
+        return tr(dq), tr(dk), tr(dv), None
+
+    # biased path: XLA recompute on the transposed layout directly
+    def ref_t(q_, k_, v_, b_):
+        return tr(_attention_reference(tr(q_), tr(k_), tr(v_), b_))
+
+    _, vjp = jax.vjp(ref_t, qT, kT, vT, bias)
+    dq, dk, dv, dbias = vjp(gT)
+    return dq, dk, dv, dbias
+
+
+_flash_t.defvjp(_flash_t_fwd, _flash_t_bwd)
+
+
+def flash_attention_t(
+    qT: jnp.ndarray,
+    kT: jnp.ndarray,
+    vT: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    block_q: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention on transposed (B, H, D, L) operands; output (B, H, D, Lq).
+
+    Same math as :func:`flash_attention` (bias is still (H, Lq, Lk)); the
+    layout lets small-head callers feed the projections' natural matmul
+    output without XLA layout copies. Backward reuses the standard kernels
+    via explicit transposes (the training path keeps its measured numbers;
+    the copy elimination targets the sampler's forward).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_t(qT, kT, vT, bias, block_q, interpret)

@@ -191,3 +191,94 @@ def test_smallhead_single_pass_backward_multiblock():
                 np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3,
                 err_msg=f"lq={lq} lk={lk} d={d}",
             )
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout entry (flash_attention_t): the copy-elimination path for
+# small heads (profile_r3_b512 found ~12% of sampler device time in XLA
+# layout copies bracketing the standard-layout kernel).
+# ---------------------------------------------------------------------------
+
+
+def _tr(t):
+    return jnp.swapaxes(t, 2, 3)
+
+
+def test_flash_attention_t_matches_reference():
+    from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+    for lq, lk, d in ((64, 64, 8), (300, 128, 4), (64, 2100, 8)):
+        q, k, v = _qkv(lq=lq, lk=lk, d=d)
+        out_t = flash_attention_t(_tr(q), _tr(k), _tr(v), interpret=True)
+        ref = _attention_reference(q, k, v, None)
+        np.testing.assert_allclose(
+            np.asarray(_tr(out_t)), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"lq={lq} lk={lk} d={d}")
+
+
+def test_flash_attention_t_with_bias():
+    from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+    q, k, v = _qkv(lq=64, lk=64, d=8)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64))
+    out_t = flash_attention_t(_tr(q), _tr(k), _tr(v), bias, interpret=True)
+    ref = _attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(_tr(out_t)), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_t_large_head_fallback():
+    """d > 32 exits the small-head regime: the transposed entry must fall
+    back to the blocked kernel via explicit transposes, exactly."""
+    from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+    q, k, v = _qkv(lq=64, lk=64, d=64)
+    out_t = flash_attention_t(_tr(q), _tr(k), _tr(v), interpret=True)
+    ref = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(_tr(out_t)), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+def test_flash_attention_t_grads_match_reference():
+    from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+    q, k, v = _qkv(lq=96, lk=64, d=4)
+    bias = jax.random.normal(jax.random.PRNGKey(9), (2, 96, 64))
+
+    for b_ in (None, bias):
+        def f_t(q_, k_, v_):
+            return jnp.sum(flash_attention_t(_tr(q_), _tr(k_), _tr(v_), b_, interpret=True) ** 2)
+
+        def f_ref(q_, k_, v_):
+            return jnp.sum(_attention_reference(q_, k_, v_, b_) ** 2)
+
+        gt = jax.grad(f_t, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, e in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-4, rtol=2e-3,
+                                       err_msg=f"bias={b_ is not None}")
+
+
+def test_attn_layout_t_matches_std_pipeline():
+    """The full mp_attention transposed pipeline (transposed projections +
+    flash_attention_t + transposed out-projection) must match the standard
+    flash path — self-attn (biased, with time) and cross-attn."""
+    from hdmoe_tpu.ops.attention import attn_layout, mp_attention_apply, mp_attention_init
+
+    params = mp_attention_init(KEY, num_heads=4, emb_dim=32, seq_ln=64, time_dim=16)
+    seq = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32))
+    t = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    with attn_layout("std"):
+        ref = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=True)
+    with attn_layout("t"):
+        out = mp_attention_apply(params, seq, time_embedding=t, num_heads=4, use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+    cparams = mp_attention_init(KEY, num_heads=4, emb_dim=32, seq_ln=64,
+                                context_dim=24, is_cross_attn=True)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 48, 24))
+    with attn_layout("std"):
+        cref = mp_attention_apply(cparams, seq, context=ctx, num_heads=4,
+                                  is_cross_attn=True, use_flash=True)
+    with attn_layout("t"):
+        cout = mp_attention_apply(cparams, seq, context=ctx, num_heads=4,
+                                  is_cross_attn=True, use_flash=True)
+    np.testing.assert_allclose(np.asarray(cout), np.asarray(cref), atol=3e-5, rtol=3e-5)

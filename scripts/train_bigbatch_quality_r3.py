@@ -11,8 +11,8 @@ device-time budget, all scored with the longrun methodology (MSE-vs-sigma
 Arms (identical canonical-skip flagship config, on-device feed, K=8):
   b32_2800   — the canonical recipe re-run in THIS session (fresh control;
                augment_ab_r3 "off" scored 1.424 on an earlier session)
-  b128_mw    — b128, 1,250 steps ~= the same device wall, reference LRs
-  b128_mw_lr2— b128, 1,250 steps, all group LRs x2 (sqrt scaling rule for
+  b128_mw    — b128, 1,248 steps ~= the same device wall, reference LRs
+  b128_mw_lr2— b128, 1,248 steps, all group LRs x2 (sqrt scaling rule for
                4x batch — fixed-LR large-batch is known to undertrain)
   b128_2800  — b128, matched STEPS (4x images, ~2.2x wall): is more data
                per step worth anything at this model scale?
@@ -55,8 +55,8 @@ def main():
     # (tag, batch, steps, lr_scale)
     arms = [
         ("b32_2800", 32, 2800, 1.0),
-        ("b128_mw", 128, 1250, 1.0),
-        ("b128_mw_lr2", 128, 1250, 2.0),
+        ("b128_mw", 128, 1248, 1.0),
+        ("b128_mw_lr2", 128, 1248, 2.0),
         ("b128_2800", 128, 2800, 1.0),
     ]
 

@@ -208,8 +208,10 @@ SERVE_DIALS = {
 }
 
 
-def _build_engine(args):
-    """Shared by serve/export: preset/checkpoint -> SamplerEngine."""
+def _build_engine(args, streaming: bool = False):
+    """Shared by serve/export: preset/checkpoint -> SamplerEngine (or the
+    continuous-batching StreamingEngine when ``streaming``, built directly so
+    no throwaway lockstep AOT compile is paid)."""
     from hdmoe_tpu.models import default_model_config, precond_init
     from hdmoe_tpu.serve import SamplerEngine
 
@@ -260,6 +262,13 @@ def _build_engine(args):
         text_kind=args.text_encoder, solver=getattr(args, "solver", "heun"),
         quantize=getattr(args, "quantize", "none"),
     )
+    if streaming:
+        if mesh_n or bucket_sizes:
+            sys.exit("--stream is a single-device slot engine: drop --mesh/--buckets")
+        from hdmoe_tpu.serve_stream import StreamingEngine
+
+        return StreamingEngine(cfg, params, batch=args.batch_size,
+                               ticks_per_call=args.ticks_per_call, **kw)
     if mesh_n:
         from hdmoe_tpu.parallel import MeshConfig, make_mesh
 
@@ -275,15 +284,25 @@ def _cmd_serve(args):
     from hdmoe_tpu.serve import serve
 
     if args.artifact:
+        if args.stream:
+            sys.exit("--stream needs a live engine (exported artifacts are "
+                     "lockstep whole-batch executables); drop --artifact")
         from hdmoe_tpu.deploy import load_sampler
 
         engine = load_sampler(args.artifact)
         print(f"serving exported artifact {args.artifact} "
               f"(batch={engine.batch}, platforms={engine.meta['platforms']})")
     else:
-        engine = _build_engine(args)
+        engine = _build_engine(args, streaming=args.stream)
+    frontend = None
+    if args.stream:
+        from hdmoe_tpu.serve_stream import StreamingFrontend
+
+        frontend = StreamingFrontend(engine)
+        print(f"continuous batching: {engine.batch} slots, "
+              f"{engine.ticks_per_call} tick(s)/device call")
     serve(engine, host=args.host, port=args.port,
-          pipeline=not args.no_pipeline)
+          pipeline=not args.no_pipeline, frontend=frontend)
 
 
 def _cmd_export(args):
@@ -511,6 +530,14 @@ def main(argv=None):
                          help="data-parallel serving: shard each sampling "
                               "batch over N devices (batch/bucket sizes must "
                               "be multiples of N; params replicate)")
+    p_serve.add_argument("--stream", action="store_true",
+                         help="continuous (in-flight) batching: per-sample-sigma "
+                              "solver ticks admit new requests at step granularity "
+                              "(serve_stream.py; single-device, no --mesh/--buckets)")
+    p_serve.add_argument("--ticks-per-call", type=int, default=1,
+                         help="solver ticks chained per device call under --stream "
+                              "(K>1 amortizes dispatch overhead at K-step "
+                              "admission granularity)")
     p_serve.add_argument("--no-pipeline", action="store_true",
                          help="disable the one-deep dispatch pipeline (fetch each batch before dispatching the next)")
     p_serve.add_argument("--host", default="127.0.0.1")

@@ -99,6 +99,16 @@ class SamplerEngine:
         self.clip = make_text_encoder(text_kind, width=cfg.text_emb_dim) if cfg.text_emb_dim else None
         scfg = EDMSamplerConfig(num_steps=num_steps, guidance=guidance)
         solve = make_sampler(solver)
+        # CFG needs the unconditional (empty-prompt) embedding as the lerp
+        # reference (sampler/generate.py:83-84); without it make_denoiser's
+        # fallback makes the guidance lerp an identity, so guidance != 1.0
+        # was silently inert in the engine (round-3 fix; test_serve.py::
+        # test_engine_guidance_active pins it).
+        uncond = (
+            self.clip.encode_text([""] * batch)
+            if (guidance != 1.0 and self.clip is not None)
+            else None
+        )
 
         def sample_fn(p, noise, text_emb, k):
             if quantize == "int8":
@@ -111,7 +121,8 @@ class SamplerEngine:
                     transition_point=transition_point, softness=softness,
                 )
 
-            den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness)
+            den = make_denoiser(precond_fn, cfg.num_experts, transition_point, softness,
+                                guidance=guidance, uncond_text_emb=uncond)
             return solve(den, noise, text_emb, scfg, key=k)
 
         shape = (batch, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
@@ -504,13 +515,17 @@ class BatchingFrontend:
 
 
 def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777,
-                pipeline: bool = True):
+                pipeline: bool = True, frontend: Optional[Any] = None):
     """Build (but don't start) the HTTP server; ``port=0`` binds a free one.
 
     Returns a ``ThreadingHTTPServer`` whose actual port is
     ``server_address[1]`` — tests use port 0 so concurrent pytest processes
-    never collide on a fixed port."""
-    frontend = BatchingFrontend(engine, pipeline=pipeline)
+    never collide on a fixed port. ``frontend`` overrides the default
+    :class:`BatchingFrontend` with any object exposing
+    ``submit(prompts, seed)`` / ``metrics`` / ``_q`` (e.g. the continuous-
+    batching :class:`hdmoe_tpu.serve_stream.StreamingFrontend`)."""
+    if frontend is None:
+        frontend = BatchingFrontend(engine, pipeline=pipeline)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -583,8 +598,8 @@ def make_server(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777
 
 
 def serve(engine: SamplerEngine, host: str = "127.0.0.1", port: int = 8777,
-          pipeline: bool = True):
+          pipeline: bool = True, frontend: Optional[Any] = None):
     """Blocking HTTP server around a SamplerEngine (queued + coalescing)."""
-    httpd = make_server(engine, host, port, pipeline=pipeline)
+    httpd = make_server(engine, host, port, pipeline=pipeline, frontend=frontend)
     print(f"serving on http://{host}:{httpd.server_address[1]} (batch={engine.batch})")
     httpd.serve_forever()

@@ -380,3 +380,49 @@ def test_frontend_fetch_error_propagates():
     with pytest.raises(RuntimeError, match="boom at fetch"):
         fe.submit(["q"], seed=1)
     assert fe.metrics.errors_total == 2
+
+
+def test_engine_guidance_active():
+    """``SamplerEngine(guidance=g)`` must actually guide (round-3 fix: the
+    engine used to call ``make_denoiser`` without guidance/uncond, so
+    ``serve --guidance`` was silently inert). Pins (a) g != 1.0 changes the
+    images and (b) the engine path equals a manually-built CFG denoiser with
+    the empty-prompt uncond reference (generate.py:83-84 semantics)."""
+    import jax.numpy as jnp
+
+    from hdmoe_tpu.adapters import make_text_encoder, make_vae
+    from hdmoe_tpu.models.hdmoem import precond_apply
+    from hdmoe_tpu.ops import mp as mp_ops
+    from hdmoe_tpu.sampler.edm import EDMSamplerConfig, edm_sample, make_denoiser
+    from hdmoe_tpu.train.optim import project_mp_weights
+
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    prompts = ["a flower", "a rose"]
+    e1 = SamplerEngine(cfg, params, batch=2, num_steps=2, guidance=1.0)
+    e3 = SamplerEngine(cfg, params, batch=2, num_steps=2, guidance=3.0)
+    unguided = e1.sample(prompts, seed=1)
+    guided = e3.sample(prompts, seed=1)
+    assert not np.array_equal(unguided, guided)
+
+    folded = project_mp_weights(params)
+    clip = make_text_encoder("fake", width=cfg.text_emb_dim)
+    text = clip.encode_text(prompts)
+    uncond = clip.encode_text(["", ""])
+
+    def precond_fn(x, s, te, m1, m2, zeta, transition_point, softness):
+        return precond_apply(folded, cfg, x, s, te, m1, m2, zeta,
+                             transition_point=transition_point, softness=softness)
+
+    den = make_denoiser(precond_fn, cfg.num_experts, -1.2, 1.6,
+                        guidance=3.0, uncond_text_emb=uncond)
+    scfg = EDMSamplerConfig(num_steps=2, guidance=3.0)
+    k_noise, k_churn = jax.random.split(jax.random.PRNGKey(1))
+    noise = jax.random.normal(
+        k_noise, (2, cfg.img_resolution, cfg.img_resolution, cfg.in_channels))
+    with mp_ops.prenormalized_weights():
+        latents = jax.jit(lambda n, k: edm_sample(den, n, text, scfg, key=k))(
+            noise, k_churn)
+    vae = make_vae("fake", target_std=cfg.sigma_data)
+    expected = np.asarray(vae.decode(jnp.asarray(latents)))
+    np.testing.assert_array_equal(guided, expected)

@@ -113,10 +113,15 @@ class IdentityVAE:
 
 
 class StabilityVAE:
-    """Frozen diffusers Flax SD-VAE (stabilityai/sd-vae-ft-mse) as an XLA
-    inference graph. Matches reference VAE_CLIP.py:7-88 numerics: encode
-    samples the posterior (reparameterization) then scales by
-    ``0.18215 * target_std``; decode inverts.
+    """Frozen SD-VAE (stabilityai/sd-vae-ft-mse) as an XLA inference graph.
+    Matches reference VAE_CLIP.py:7-88 numerics: encode samples the posterior
+    (reparameterization) then scales by ``0.18215 * target_std``; decode
+    inverts.
+
+    Weight loading tries, in order:
+    1. the native JAX AutoencoderKL (adapters/vae_native.py) reading the
+       torch-format diffusers checkpoint directly — no diffusers needed;
+    2. diffusers FlaxAutoencoderKL (handles Flax-format directories).
     """
 
     def __init__(
@@ -131,16 +136,32 @@ class StabilityVAE:
         self.target_std = target_std
         self.enc_scaler = scale_factor * target_std
         self.local_path = local_path
-        self._vae = None
+        self._vae = None          # diffusers Flax module (fallback path)
         self._params = None
+        self._native_cfg = None   # native path: (params, VAEConfig)
 
     def init(self, device=None):
-        if self._vae is not None:
+        if self._vae is not None or self._native_cfg is not None:
             return self
+        import os
+
+        from hdmoe_tpu.adapters import vae_native
+
+        src = self.local_path or self.vae_name
+        native_err = None
+        if os.path.isdir(src):
+            try:
+                self._params, self._native_cfg = vae_native.load_torch_vae_params(src)
+                self._jit_encode = jax.jit(
+                    lambda px: vae_native.vae_encode(self._params, self._native_cfg, px))
+                self._jit_decode = jax.jit(
+                    lambda lt: vae_native.vae_decode(self._params, self._native_cfg, lt))
+                return self
+            except Exception as e:
+                native_err = e
         try:
             from diffusers import FlaxAutoencoderKL
 
-            src = self.local_path or self.vae_name
             try:
                 self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src)
             except Exception:
@@ -149,9 +170,10 @@ class StabilityVAE:
                 self._vae, self._params = FlaxAutoencoderKL.from_pretrained(src, from_pt=True)
         except Exception as e:  # zero-egress env or missing weights
             raise RuntimeError(
-                f"SD-VAE weights unavailable ({e}); use FakeVAE for hermetic runs, "
-                f"provide local_path to cached weights, or run "
-                f"scripts/port_vae_clip.py to convert a torch checkpoint."
+                f"SD-VAE weights unavailable (native: {native_err}; diffusers: {e}); "
+                f"use FakeVAE for hermetic runs, provide local_path to cached "
+                f"weights, or run scripts/port_vae_clip.py / "
+                f"scripts/synthesize_hf_checkpoints.py."
             ) from e
         return self
 
@@ -159,16 +181,23 @@ class StabilityVAE:
         """uint8 [0,255] NHWC -> latents ~ N(0, target_std) via posterior sample."""
         self.init()
         pixels = x.astype(jnp.float32) / 127.5 - 1.0
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if self._native_cfg is not None:
+            mean, logvar = self._jit_encode(pixels)
+            sampled = mean + jax.random.normal(key, mean.shape) * jnp.exp(0.5 * logvar)
+            return sampled * self.enc_scaler
         nchw = pixels.transpose(0, 3, 1, 2)
         posterior = self._vae.apply({"params": self._params}, nchw, method=self._vae.encode)
         dist = posterior.latent_dist
-        if key is None:
-            key = jax.random.PRNGKey(0)
         sampled = dist.mean + jax.random.normal(key, dist.mean.shape) * dist.std
         return sampled.transpose(0, 2, 3, 1) * self.enc_scaler
 
     def decode(self, lat: jnp.ndarray) -> jnp.ndarray:
         self.init()
+        if self._native_cfg is not None:
+            out = self._jit_decode(lat / self.enc_scaler)
+            return jnp.clip((out + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
         raw = (lat / self.enc_scaler).transpose(0, 3, 1, 2)
         out = self._vae.apply({"params": self._params}, raw, method=self._vae.decode).sample
         out = out.transpose(0, 2, 3, 1)

@@ -1,9 +1,11 @@
-"""bench.py tunnel-wedge watchdog contract.
+"""bench.py tunnel-wedge watchdog contract (round-4 incremental-output form).
 
 The driver runs bench.py unattended at end of round; if the axon tunnel is
 wedged, PJRT calls block forever. The watchdog must (a) kill a blocked run
-with exit code 3 and NO stdout JSON (a wedge must never be recorded as a
-score), and (b) never fire once cancelled.
+with exit code 3 and NO stdout JSON while no score has been printed (a wedge
+must never be recorded as a score), (b) exit 0 once a headline line IS out,
+so the printed line stands as the round's score, and (c) never fire once
+cancelled.
 """
 
 import subprocess
@@ -26,7 +28,7 @@ def _run(snippet: str, timeout: float = 60.0):
 def test_watchdog_kills_blocked_run_without_score():
     r = _run(
         "import bench, time\n"
-        "bench._arm_watchdog(1.0 / 60, 'test-phase')\n"  # 1 s deadline
+        "bench._watchdog(1.0, 'test-phase')\n"  # 1 s deadline
         "time.sleep(30)\n"
         "print('{\"metric\": \"should-never-print\"}')\n"
     )
@@ -35,13 +37,50 @@ def test_watchdog_kills_blocked_run_without_score():
     assert "presumed wedged" in r.stderr
 
 
+def test_watchdog_exits_zero_after_headline_line():
+    """Once line 1 is printed, a wedge mid-parity must NOT discard it: the
+    watchdog converts the hang into exit 0 and the line is the score."""
+    r = _run(
+        "import bench, time\n"
+        "print('{\"metric\": \"headline\", \"value\": 1.0}', flush=True)\n"
+        "bench._state['line_out'] = True\n"
+        "bench._watchdog(1.0, 'parity-phase')\n"
+        "time.sleep(30)\n"
+        "print('{\"metric\": \"should-never-print\"}')\n"
+    )
+    assert r.returncode == 0
+    assert r.stdout.strip().splitlines()[-1] == '{"metric": "headline", "value": 1.0}'
+    assert "line 1 stands" in r.stderr
+
+
 def test_watchdog_cancel_disarms():
     r = _run(
         "import bench, time\n"
-        "cancel = bench._arm_watchdog(1.0 / 60, 'test-phase')\n"
+        "cancel = bench._watchdog(1.0, 'test-phase')\n"
         "cancel()\n"
         "time.sleep(2)\n"
         "print('survived')\n"
     )
     assert r.returncode == 0
     assert "survived" in r.stdout
+
+
+def test_emit_lines_are_complete_records():
+    """Every _emit line must parse standalone and carry the driver schema
+    keys, so whichever line is LAST is always a valid score."""
+    r = _run(
+        "import bench\n"
+        "bench._emit(100.0, 1.0, 50.0, 'cached:test', 'cpu', {})\n"
+        "bench._emit(100.0, 1.0, 40.0, 'measured', 'cpu', {'extra': 1})\n"
+    )
+    import json
+
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 2
+    for ln in lines:
+        rec = json.loads(ln)
+        for k in ("metric", "value", "unit", "vs_baseline"):
+            assert k in rec, f"missing {k}"
+    assert json.loads(lines[0])["vs_baseline"] == 2.0
+    assert json.loads(lines[1])["vs_baseline"] == 2.5
+    assert json.loads(lines[1])["parity_source"] == "measured"

@@ -54,6 +54,71 @@ def test_clip_contract_fake_matches_real_api():
 
 
 # ---------------------------------------------------------------------------
+# Synthesized HF-format checkpoints (ALWAYS run): random weights, exact
+# on-disk format/key layout of the real ones — so the weight-port path
+# (loaders + scripts/port_vae_clip.py) is executed code, not gated code.
+# The real-weight tests below stay gated for true weights.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from scripts.synthesize_hf_checkpoints import synth_clip, synth_vae
+
+    root = tmp_path_factory.mktemp("synth_weights")
+    return {
+        "vae": synth_vae(str(root / "vae"), small=True),
+        "clip": synth_clip(str(root / "clip"), small=True),
+    }
+
+
+def test_synth_vae_through_real_adapter(synth_dir):
+    """StabilityVAE loads the diffusers-format checkpoint via the native
+    JAX AutoencoderKL (no diffusers in this env) and honors the encode/
+    decode contract end to end."""
+    vae = StabilityVAE(local_path=synth_dir["vae"]).init()
+    assert vae._native_cfg is not None  # native loader, not diffusers
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+    lat = vae.encode(img, key=jax.random.PRNGKey(0))
+    down = 2 ** (len(vae._native_cfg.block_out_channels) - 1)
+    assert lat.shape == (2, 64 // down, 64 // down, 4)
+    assert bool(jnp.isfinite(lat).all())
+    again = vae.encode(img, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(again))
+    out = vae.decode(lat)
+    assert out.shape == img.shape and out.dtype == jnp.uint8
+
+
+def test_synth_clip_through_real_adapter(synth_dir):
+    """CLIPTextEmbedder loads the torch-format transformers checkpoint
+    (framework conversion on load) and honors the (B, 77, 768) contract."""
+    clip = CLIPTextEmbedder(local_path=synth_dir["clip"]).init()
+    emb = clip.encode_text(["a photo of a flower", "a cat"])
+    assert emb.shape == (2, 77, 768)
+    again = clip.encode_text(["a photo of a flower", "a photo of a flower"])
+    np.testing.assert_allclose(np.asarray(again[0]), np.asarray(again[1]))
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[1]))
+
+
+def test_port_script_clip_end_to_end(synth_dir, tmp_path):
+    """scripts/port_vae_clip.py port_clip + verify_clip on the synthesized
+    source: the ported Flax tower must match the torch tower numerically
+    (verify_clip asserts max abs diff < 1e-3 internally)."""
+    from scripts.port_vae_clip import port_clip, verify_clip
+
+    out = str(tmp_path / "ported_clip")
+    port_clip(synth_dir["clip"], out)
+    verify_clip(synth_dir["clip"], out)
+    emb = CLIPTextEmbedder(local_path=out).init().encode_text(["x"])
+    assert emb.shape == (1, 77, 768)
+
+
+# ---------------------------------------------------------------------------
 # Real weights (skipped unless available)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,222 @@
+"""Native JAX AutoencoderKL (adapters/vae_native.py) correctness.
+
+The environment has no diffusers, so the ported VAE cannot be A/B'd against
+the library the reference uses (Utils/VAE_CLIP.py:27-46). Instead:
+
+- a TORCH MIRROR of the forward pass, written here against
+  torch.nn.functional primitives (the same primitives diffusers composes)
+  and driven by the SAME torch-layout state dict, pins the weight-layout
+  transforms (OIHW->HWIO, (out,in)->(in,out)), GroupNorm semantics,
+  asymmetric downsample padding, and nearest upsampling;
+- the loader's strict key-set check is exercised both ways (missing and
+  unexpected keys), plus the legacy attention naming conversion.
+
+Checkpoints are synthesized by scripts/synthesize_hf_checkpoints.py with
+the exact diffusers on-disk format.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from hdmoe_tpu.adapters.vae_native import (  # noqa: E402
+    VAEConfig,
+    convert_torch_state_dict,
+    expected_sd_vae_keys,
+    load_torch_vae_params,
+    sd_vae_state_shapes,
+    vae_decode,
+    vae_encode,
+)
+
+SMALL = VAEConfig(block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8)
+
+
+def _random_state(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    state = {}
+    for k, shp in sorted(sd_vae_state_shapes(cfg).items()):
+        last = k.rsplit(".", 2)[-2]
+        if k.endswith(".weight") and "norm" in last:
+            state[k] = np.ones(shp, dtype=np.float32)
+        elif k.endswith(".bias"):
+            # nonzero biases so bias-handling bugs can't hide
+            state[k] = (rng.randn(*shp) * 0.01).astype(np.float32)
+        else:
+            state[k] = (rng.randn(*shp) * 0.05).astype(np.float32)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# torch mirror
+# ---------------------------------------------------------------------------
+
+
+def _torch_forward(state, cfg, img_np):
+    """Independent torch implementation of AutoencoderKL encode+decode,
+    consuming the torch-layout state dict directly (no layout transforms)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in state.items()}
+    g = cfg.norm_num_groups
+
+    def gn(x, pre):
+        return F.group_norm(x, g, t[f"{pre}.weight"], t[f"{pre}.bias"], eps=1e-6)
+
+    def conv(x, pre, stride=1, pad=None):
+        w = t[f"{pre}.weight"]
+        if pad is None:
+            pad = w.shape[-1] // 2
+        return F.conv2d(x, w, t[f"{pre}.bias"], stride=stride, padding=pad)
+
+    def resnet(x, pre):
+        h = conv(F.silu(gn(x, f"{pre}.norm1")), f"{pre}.conv1")
+        h = conv(F.silu(gn(h, f"{pre}.norm2")), f"{pre}.conv2")
+        if f"{pre}.conv_shortcut.weight" in t:
+            x = conv(x, f"{pre}.conv_shortcut", pad=0)
+        return x + h
+
+    def attention(x, pre):
+        b, c, hh, ww = x.shape
+        y = gn(x, f"{pre}.group_norm").reshape(b, c, hh * ww).transpose(1, 2)
+        q = F.linear(y, t[f"{pre}.to_q.weight"], t[f"{pre}.to_q.bias"])
+        k = F.linear(y, t[f"{pre}.to_k.weight"], t[f"{pre}.to_k.bias"])
+        v = F.linear(y, t[f"{pre}.to_v.weight"], t[f"{pre}.to_v.bias"])
+        a = torch.softmax(q @ k.transpose(1, 2) / c**0.5, dim=-1)
+        y = F.linear(a @ v, t[f"{pre}.to_out.0.weight"], t[f"{pre}.to_out.0.bias"])
+        return x + y.transpose(1, 2).reshape(b, c, hh, ww)
+
+    def mid(x, pre):
+        x = resnet(x, f"{pre}.resnets.0")
+        x = attention(x, f"{pre}.attentions.0")
+        return resnet(x, f"{pre}.resnets.1")
+
+    n_blocks = len(cfg.block_out_channels)
+    with torch.no_grad():
+        x = torch.from_numpy(img_np).permute(0, 3, 1, 2)
+        x = conv(x, "encoder.conv_in")
+        for i in range(n_blocks):
+            for j in range(cfg.layers_per_block):
+                x = resnet(x, f"encoder.down_blocks.{i}.resnets.{j}")
+            if i < n_blocks - 1:
+                x = F.pad(x, (0, 1, 0, 1))
+                x = conv(x, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                         stride=2, pad=0)
+        x = mid(x, "encoder.mid_block")
+        x = conv(F.silu(gn(x, "encoder.conv_norm_out")), "encoder.conv_out")
+        x = conv(x, "quant_conv", pad=0)
+        mean, logvar = torch.chunk(x, 2, dim=1)
+        logvar = torch.clamp(logvar, -30.0, 20.0)
+
+        y = conv(mean, "post_quant_conv", pad=0)
+        y = conv(y, "decoder.conv_in")
+        y = mid(y, "decoder.mid_block")
+        for i in range(n_blocks):
+            for j in range(cfg.layers_per_block + 1):
+                y = resnet(y, f"decoder.up_blocks.{i}.resnets.{j}")
+            if i < n_blocks - 1:
+                y = F.interpolate(y, scale_factor=2, mode="nearest")
+                y = conv(y, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        y = conv(F.silu(gn(y, "decoder.conv_norm_out")), "decoder.conv_out")
+    return (mean.permute(0, 2, 3, 1).numpy(),
+            logvar.permute(0, 2, 3, 1).numpy(),
+            y.permute(0, 2, 3, 1).numpy())
+
+
+def test_encode_decode_matches_torch_mirror():
+    state = _random_state(SMALL)
+    params = convert_torch_state_dict(state, SMALL)
+    img = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32) * 0.5
+    ref_mean, ref_logvar, ref_dec = _torch_forward(state, SMALL, img)
+
+    mean, logvar = jax.jit(lambda p: vae_encode(params, SMALL, p))(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar, atol=2e-5, rtol=1e-4)
+
+    dec = jax.jit(lambda lt: vae_decode(params, SMALL, lt))(mean)
+    np.testing.assert_allclose(np.asarray(dec), ref_dec, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# loader contract
+# ---------------------------------------------------------------------------
+
+
+def test_strict_loader_rejects_missing_and_extra_keys():
+    state = _random_state(SMALL)
+    broken = dict(state)
+    broken.pop("encoder.conv_in.weight")
+    with pytest.raises(ValueError, match="missing"):
+        convert_torch_state_dict(broken, SMALL)
+    extra = dict(state)
+    extra["encoder.bogus.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unexpected"):
+        convert_torch_state_dict(extra, SMALL)
+
+
+def test_legacy_attention_naming_is_converted():
+    """Pre-0.17 diffusers checkpoints name mid-block attention
+    query/key/value/proj_attn with (C, C, 1, 1) conv-style weights."""
+    state = _random_state(SMALL)
+    legacy = {}
+    for k, v in state.items():
+        for new, old in (("to_q", "query"), ("to_k", "key"),
+                         ("to_v", "value"), ("to_out.0", "proj_attn")):
+            tag = f".attentions.0.{new}."
+            if tag in k:
+                k = k.replace(tag, f".attentions.0.{old}.")
+                if k.endswith(".weight"):
+                    v = v[:, :, None, None]
+                break
+        legacy[k] = v
+    np_equal = convert_torch_state_dict(legacy, SMALL)
+    ref = convert_torch_state_dict(state, SMALL)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(np_equal[k]), np.asarray(ref[k]))
+
+
+def test_full_config_key_set_is_the_sd_vae_layout():
+    """Spot-pin the full sd-vae-ft-mse layout: canonical key names exist,
+    and the set is closed under the shape table."""
+    cfg = VAEConfig()
+    keys = expected_sd_vae_keys(cfg)
+    for k in (
+        "encoder.down_blocks.0.resnets.1.conv2.weight",
+        "encoder.down_blocks.1.resnets.0.conv_shortcut.weight",
+        "encoder.down_blocks.2.downsamplers.0.conv.weight",
+        "encoder.mid_block.attentions.0.to_out.0.bias",
+        "decoder.up_blocks.2.resnets.0.conv_shortcut.weight",
+        "decoder.up_blocks.2.upsamplers.0.conv.weight",
+        "quant_conv.weight",
+        "post_quant_conv.bias",
+    ):
+        assert k in keys, k
+    assert "encoder.down_blocks.3.downsamplers.0.conv.weight" not in keys
+    assert "decoder.up_blocks.3.upsamplers.0.conv.weight" not in keys
+    shapes = sd_vae_state_shapes(cfg)
+    assert set(shapes) == keys
+    assert shapes["encoder.conv_in.weight"] == (128, 3, 3, 3)
+    assert shapes["encoder.conv_out.weight"] == (8, 512, 3, 3)
+    assert shapes["decoder.conv_out.weight"] == (3, 128, 3, 3)
+    assert shapes["decoder.conv_norm_out.weight"] == (128,)
+
+
+def test_load_from_synthesized_checkpoint_dir(tmp_path):
+    """End-to-end through the on-disk diffusers format (the port path the
+    real weights would take)."""
+    from scripts.synthesize_hf_checkpoints import synth_vae
+
+    src = synth_vae(str(tmp_path / "vae"), small=True)
+    params, cfg = load_torch_vae_params(src)
+    assert cfg.block_out_channels == (32, 64)
+    assert set(params) == expected_sd_vae_keys(cfg)
+    # conv weights arrive HWIO
+    assert params["encoder.conv_in.weight"].shape == (3, 3, 3, 32)

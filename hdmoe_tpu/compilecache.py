@@ -47,6 +47,15 @@ def enable_persistent_cache(path: str | None = None,
     env = os.environ.get("HDMOE_COMPILE_CACHE", "")
     if env.lower() in ("off", "0", "none"):
         return None
+    # CPU-pinned runs (tests, dryruns, smoke — all set JAX_PLATFORM_NAME=cpu
+    # or jax_platforms=cpu in this repo) must NOT share the cache: XLA:CPU
+    # AOT results bake host machine features, and session hosts vary — a
+    # cache entry compiled on an AVX-512/AMX host loads on a weaker host
+    # with "could lead to execution errors such as SIGILL" (observed
+    # round 4). The expensive compiles the cache exists for are the TPU
+    # tunnel ones; CPU compiles are seconds.
+    if env == "" and os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+        return None
     path = path or env or DEFAULT_DIR
     path = os.path.abspath(path)
     if _enabled_dir == path:

@@ -33,12 +33,25 @@ import numpy as np
 from hdmoe_tpu.obs.metrics import frechet_distance, gaussian_stats
 
 
+# Version pin for the hermetic tower (VERDICT r3 item 8): every FID number
+# recorded in artifacts/ carries this tag plus a checksum of the realized
+# filter bank, so cross-round numbers are comparable iff the tags match.
+# Bump the version on ANY change to the tower architecture, normalization,
+# pooling, or seed scheme — and expect a discontinuity in tower-FID series.
+RANDOM_TOWER_VERSION = "rc1"  # 5x stride-2 conv3x3, leaky0.2, mean+max pool
+
+
 class RandomConvFeatures:
     """Deterministic untrained conv tower: uint8 NHWC -> (B, dim) features.
 
     5 stride-2 conv stages (fixed orthogonal-ish Gaussian filters, fixed
     seed) + leaky-relu + global mean/max pooling. Jitted; any resolution
-    >= 32."""
+    >= 32. Filters come from the legacy ``np.random.RandomState`` stream,
+    whose bit sequence numpy guarantees stable across versions — the tower
+    is reproducible from (RANDOM_TOWER_VERSION, dim, seed) alone, and
+    :meth:`fingerprint` checksums the realized bank to prove it."""
+
+    version = RANDOM_TOWER_VERSION
 
     def __init__(self, dim: int = 512, seed: int = 0):
         import jax
@@ -67,6 +80,15 @@ class RandomConvFeatures:
             return jnp.concatenate([mean, mx], axis=-1)
 
         self._fwd = jax.jit(fwd)
+
+    def fingerprint(self) -> str:
+        """Checksum of the realized filter bank (version-pinned tower ID)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for w in self._filters:
+            h.update(np.asarray(w).tobytes())
+        return f"{self.version}:{h.hexdigest()[:12]}"
 
     def __call__(self, imgs: np.ndarray) -> np.ndarray:
         return np.asarray(self._fwd(imgs))
@@ -243,5 +265,8 @@ def fid_from_checkpoint(
         real = _roundtrip()
     fid = fid_evaluate(sample_fn, real, feature_fn, n=n, batch=batch,
                        progress=lambda s: print(s, flush=True))
-    return {"fid": fid, "tower": tower_used, "n": n, "nfe": engine.nfe,
-            "solver": solver, "real_roundtrip": bool(real_roundtrip)}
+    rec = {"fid": fid, "tower": tower_used, "n": n, "nfe": engine.nfe,
+           "solver": solver, "real_roundtrip": bool(real_roundtrip)}
+    if isinstance(feature_fn, RandomConvFeatures):
+        rec["tower_fingerprint"] = feature_fn.fingerprint()
+    return rec

@@ -21,13 +21,32 @@ from hdmoe_tpu.compilecache import DEFAULT_DIR, enable_persistent_cache
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_package_import_enables_repo_cache_dir():
-    # importing hdmoe_tpu (done above) configured the cache unless the env
-    # opted out
-    assert jax.config.jax_compilation_cache_dir == DEFAULT_DIR
-    assert os.path.isdir(DEFAULT_DIR)
-    # threshold keeps the test suite's thousands of tiny programs out
-    assert jax.config.jax_persistent_cache_min_compile_time_secs >= 10.0
+def test_package_import_skips_cache_on_cpu_pinned_runs():
+    """CPU-pinned processes (this test suite, dryruns) must NOT attach the
+    shared cache: XLA:CPU AOT entries bake host machine features, and a
+    stale entry from a different session host loads with SIGILL-risk
+    warnings (round-4 find). conftest pins JAX_PLATFORM_NAME=cpu, so the
+    import above must have left the cache unconfigured."""
+    assert jax.config.jax_compilation_cache_dir in (None, "")
+
+
+def test_package_import_enables_repo_cache_dir_off_cpu():
+    """Without the CPU pin (the TPU/bench path), package import points the
+    cache at the repo dir with the tiny-program threshold."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORM_NAME", "HDMOE_COMPILE_CACHE")}
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, hdmoe_tpu\n"
+         "print(repr(jax.config.jax_compilation_cache_dir))\n"
+         "print(jax.config.jax_persistent_cache_min_compile_time_secs)"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().splitlines()
+    assert lines[-2] == repr(DEFAULT_DIR), out.stdout
+    assert float(lines[-1]) >= 10.0
 
 
 def test_cache_writes_an_entry(tmp_path):

@@ -102,3 +102,13 @@ def test_clip_fid_tower_contract():
     f = ClipImageFeatures().init()
     out = f(_imgs(0, n=4, res=64))
     assert out.ndim == 2 and out.shape[0] == 4 and np.isfinite(out).all()
+
+
+def test_random_tower_fingerprint_is_version_pinned():
+    """Golden pin (VERDICT r3 item 8): cross-round tower-FID numbers are
+    comparable iff this fingerprint is unchanged. If this test fails you
+    changed the hermetic tower — bump RANDOM_TOWER_VERSION in obs/fid.py
+    and expect a discontinuity in every tower-FID series in artifacts/."""
+    f = RandomConvFeatures()  # the default (dim=512, seed=0) tower of record
+    assert f.fingerprint() == "rc1:6588bf6aa28f"
+    assert f.version == "rc1"

@@ -558,6 +558,9 @@ def main(argv=None):
     p_export.add_argument("--batch-size", type=int, default=16)
     p_export.add_argument("--steps", type=int, default=18)
     p_export.add_argument("--guidance", type=float, default=1.0)
+    p_export.add_argument("--dial", default="", choices=["", "parity", "quality", "throughput"],
+                          help="export a serving dial's exact config/solver/steps "
+                               "(same table as serve --dial)")
     p_export.add_argument("--vae", default="fake", choices=["fake", "none", "real", "auto"])
     p_export.add_argument("--text-encoder", default="fake", choices=["fake", "real", "auto"])
     p_export.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])

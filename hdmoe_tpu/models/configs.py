@@ -48,6 +48,9 @@ class HDMOEMConfig:
     variant: str = "config2"  # "config1": learned Scaling_router + dynamic query/context swap
     # "dense": all experts on all samples, combined by sparse gate (exact)
     # "capacity": fixed-capacity gather/scatter dispatch (XLA gather)
+    # "einsum": capacity semantics, token movement as one-hot MATMULS on the
+    #           MXU with the gate-weight multiply folded into the combine
+    #           (GShard-style; moe.py:moe_dispatch_capacity_einsum)
     # "pallas": capacity semantics, token movement via the Pallas
     #           dispatch/combine kernels (ops/pallas/moe_kernels.py)
     # "grouped": shape-class bank dispatch (heterogeneous pools only)

@@ -233,7 +233,7 @@ def hdmoem_apply(
     )
 
     capacity_limited = (
-        cfg.dispatch in ("capacity", "pallas", "grouped")
+        cfg.dispatch in ("capacity", "einsum", "pallas", "grouped")
         or cfg.expert_sharing in ("stacked", "class_banks")
     )
     if capacity_limited and cfg.capacity_policy == "priority":
@@ -314,7 +314,7 @@ def hdmoem_apply(
             partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i), cfg.remat_experts)
             for i in range(cfg.num_experts)
         ]
-        capacity = cfg.capacity(b) if cfg.dispatch in ("capacity", "pallas") else None
+        capacity = cfg.capacity(b) if cfg.dispatch in ("capacity", "einsum", "pallas") else None
         out_unet_expert = moe.moe_dispatch(
             in_unet_router, unet_fns, out_unet_router, time_embed, text_emb,
             mode=cfg.dispatch, capacity=capacity, top_k=cfg.top_k, train=train, key=keys[3],

@@ -162,6 +162,74 @@ def moe_dispatch_capacity(
     return out
 
 
+def _onehot_matmul(m: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """``m @ t`` over t's leading axis, preserving t's trailing shape/dtype.
+
+    ``m`` rows are one-hot (or weighted one-hot with <=1 nonzero), so the
+    contraction is an exact row-select/scale. fp32 operands pin
+    ``precision=HIGHEST`` so the TPU bf16x-pass decomposition cannot perturb
+    parity-grade paths; bf16 operands are exact under any precision (each
+    output element is one product against 1.0 summed with zeros)."""
+    prec = (jax.lax.Precision.HIGHEST
+            if t.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    flat = t.reshape(t.shape[0], -1)
+    out = jax.lax.dot(m.astype(t.dtype), flat, precision=prec,
+                      preferred_element_type=jnp.float32)
+    return out.astype(t.dtype).reshape((m.shape[0],) + t.shape[1:])
+
+
+def moe_dispatch_capacity_einsum(
+    x: jnp.ndarray,
+    expert_fns: Sequence[Callable[..., jnp.ndarray]],
+    gate_weights: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    text_emb: Optional[jnp.ndarray],
+    *,
+    capacity: int,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Capacity dispatch with one-hot MATMUL gather/combine (GShard-style).
+
+    Same selection semantics as :func:`moe_dispatch_capacity` (FCFS by batch
+    position; compose with ``reroute_overflow`` upstream for the priority
+    policy), but token movement rides the MXU instead of gather/scatter
+    units: the b512 sampler profile (artifacts/profile_r3_b512_t) shows the
+    gather at 320 GB/s and the combine scatter-add at 146 GB/s — 18-40% of
+    HBM peak — plus a separate 331 MB/eval broadcast ``mul`` for the gate
+    weights. Here dispatch is ``onehot(idx) @ x`` and combine is
+    ``(onehotᵀ·w) @ expert_out`` — the gate-weight multiply FOLDS into the
+    combine matmul and both movements run as dense MXU contractions, the
+    lowering GShard/Switch chose for TPU for exactly this reason (GShard,
+    Lepikhin et al. 2020, §3.2 einsum dispatch masks).
+
+    Numerics: dispatch is an exact row-select (see :func:`_onehot_matmul`);
+    combine rows carry at most one nonzero per expert, so the only rounding
+    is the ``w*out`` product itself — the same grade as the reference
+    scatter path's broadcast multiply.
+    """
+    b = x.shape[0]
+    if text_emb is not None and text_emb.ndim == 3:
+        text_emb = text_emb.mean(axis=1)
+    keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
+    out = jnp.zeros_like(x)
+    for i, fn in enumerate(expert_fns):
+        w = gate_weights[:, i]
+        selected = w > 0
+        order = jnp.argsort(jnp.where(selected, jnp.arange(b), b))
+        idx = order[:capacity]
+        valid = selected[idx]
+        disp = jax.nn.one_hot(idx, b, dtype=x.dtype)  # (capacity, B)
+        xi = _onehot_matmul(disp, x)
+        ti = _onehot_matmul(disp, time_emb)
+        txi = _onehot_matmul(disp, text_emb) if text_emb is not None else None
+        oi = fn(xi, ti, txi, train=train, key=keys[i])
+        wi = jnp.where(valid, w[idx], 0.0).astype(x.dtype)
+        comb = disp.T * wi[None, :]  # (B, capacity), gate weight folded in
+        out = out + _onehot_matmul(comb, oi)
+    return out
+
+
 def moe_dispatch_capacity_pallas(
     x: jnp.ndarray,
     expert_fns: Sequence[Callable[..., jnp.ndarray]],
@@ -224,6 +292,11 @@ def moe_dispatch(
     if mode == "capacity":
         cap = capacity if capacity is not None else x.shape[0]
         return moe_dispatch_capacity(
+            x, expert_fns, gate_weights, time_emb, text_emb, capacity=cap, train=train, key=key
+        )
+    if mode == "einsum":
+        cap = capacity if capacity is not None else x.shape[0]
+        return moe_dispatch_capacity_einsum(
             x, expert_fns, gate_weights, time_emb, text_emb, capacity=cap, train=train, key=key
         )
     if mode == "pallas":

@@ -383,3 +383,100 @@ def test_priority_policy_grads_flow():
 
     g = jax.grad(loss)(params)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_einsum_dispatch_matches_capacity_exactly():
+    """One-hot-matmul dispatch == gather/scatter dispatch, bit-grade on CPU
+    fp32 (the movement is an exact row select; only the w*out product
+    rounds, identically on both paths), including overflow drops."""
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jax.random.normal(jax.random.PRNGKey(4), (B, 4))
+    txt = jax.random.normal(jax.random.PRNGKey(5), (B, 5, 8))  # 3-D: pooling path
+    gate = jax.nn.one_hot(jnp.array([0, 1, 2, 0, 1, 2]), E) * 0.7
+
+    def make(i):
+        def fn(xx, tt, tx, *, train=False, key=None):
+            return xx * (i + 1.0) + tt.mean() + tx.mean()
+
+        return fn
+
+    fns = [make(i) for i in range(E)]
+    for cap in (B, 1):  # exact and overflow-dropping regimes
+        ref = moe.moe_dispatch_capacity(x, fns, gate, t, txt, capacity=cap)
+        got = moe.moe_dispatch_capacity_einsum(x, fns, gate, t, txt, capacity=cap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-7, rtol=1e-7)
+
+
+def test_einsum_dispatch_grads_match_capacity():
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jnp.zeros((B, 4))
+    gate = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(6), (B, E)), axis=-1)
+    gate = jnp.where(gate > 0.3, gate, 0.0)  # sparse, some rows multi-expert
+
+    def loss(fn_dispatch, xx):
+        return jnp.sum(fn_dispatch(xx, _make_experts(), gate, t, None, capacity=3) ** 2)
+
+    g_ref = jax.grad(lambda xx: loss(moe.moe_dispatch_capacity, xx))(x)
+    g_new = jax.grad(lambda xx: loss(moe.moe_dispatch_capacity_einsum, xx))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-6, rtol=1e-6)
+
+
+def test_einsum_full_model_matches_capacity():
+    """Whole preconditioned model under dispatch="einsum" equals "capacity"
+    (outputs + grads), heterogeneous flagship-style pools."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import precond_apply, precond_init
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg(num_experts=4, unet_kernel_sizes=((3, 3), (3, 3), (5, 5), (5, 5)),
+                   vit_patch_sizes=(2, 4, 4, 8))
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, 1)))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    cap_cfg = replace(cfg, dispatch="capacity", capacity_factor=4.0)
+    ein_cfg = replace(cfg, dispatch="einsum", capacity_factor=4.0)
+    out_cap = precond_apply(params, cap_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    out_ein = precond_apply(params, ein_cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(out_ein), np.asarray(out_cap), atol=2e-5, rtol=2e-5)
+
+    from jax.flatten_util import ravel_pytree
+
+    def loss(p, c):
+        return jnp.sum(precond_apply(p, c, x, sigma, txt, mask, mask, 0.0)["denoised"] ** 2)
+
+    g_cap = jax.grad(lambda p: loss(p, cap_cfg))(params)
+    g_ein = jax.grad(lambda p: loss(p, ein_cfg))(params)
+    flat_c, _ = ravel_pytree(g_cap)
+    flat_e, _ = ravel_pytree(g_ein)
+    np.testing.assert_allclose(np.asarray(flat_e), np.asarray(flat_c), atol=5e-4, rtol=5e-4)
+
+
+def test_einsum_dispatch_with_priority_policy_in_model():
+    """dispatch="einsum" composes with capacity_policy="priority" (the
+    serving fast-path combination) — finite output, equals the capacity
+    dispatch under the same policy."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import precond_apply, precond_init
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg(num_experts=4, unet_kernel_sizes=((3, 3), (3, 3), (5, 5), (5, 5)),
+                   vit_patch_sizes=(2, 4, 4, 8))
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.full((b, 1, 1, 1), 0.5)  # shared sigma: correlated routing
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    base = dict(dispatch="capacity", capacity_factor=1.0, capacity_policy="priority")
+    out_cap = precond_apply(params, replace(cfg, **base), x, sigma, txt, mask, mask, 0.0)["denoised"]
+    out_ein = precond_apply(params, replace(cfg, **{**base, "dispatch": "einsum"}),
+                            x, sigma, txt, mask, mask, 0.0)["denoised"]
+    assert np.isfinite(np.asarray(out_ein)).all()
+    np.testing.assert_allclose(np.asarray(out_ein), np.asarray(out_cap), atol=2e-5, rtol=2e-5)

@@ -309,11 +309,14 @@ def _cmd_export(args):
     from hdmoe_tpu.deploy import export_sampler
 
     engine = _build_engine(args)
-    meta = export_sampler(engine, args.out)
+    meta = export_sampler(engine, args.out,
+                          precompile=getattr(args, "precompile", False))
     import os
 
     print(f"exported {args.out} ({os.path.getsize(args.out)} bytes): "
-          f"{meta['platforms']} batch={meta['batch']} steps={meta['num_steps']}")
+          f"{meta['platforms']} batch={meta['batch']} steps={meta['num_steps']}"
+          + (f" precompiled={meta['precompiled_backend']}"
+             if meta.get("precompiled_backend") else ""))
 
 
 def _cmd_import(args):
@@ -566,6 +569,11 @@ def main(argv=None):
     p_export.add_argument("--solver", default="heun", choices=["heun", "dpmpp2m"])
     p_export.add_argument("--quantize", default="none", choices=["none", "int8"],
                           help="weight-only int8 (~4x smaller artifact; quality roundtrip-tested)")
+    p_export.add_argument("--precompile", action="store_true",
+                          help="embed the compiled executable for the current "
+                               "backend/device kind — a matching serving host "
+                               "boots with zero XLA compile (falls back to "
+                               "StableHLO elsewhere)")
     p_export.set_defaults(fn=_cmd_export)
 
     args = parser.parse_args(argv)

@@ -13,6 +13,13 @@ Artifact = a single zip file:
   meta.json     batch/steps/shapes/adapter kinds + jax version + platforms
   sampler.bin   ``jax.export`` bytes: (noise, text?, key) -> uint8 images
                 (EDM sampling + VAE decode in ONE program)
+  exec_<backend>.pkl   OPTIONAL (``precompile=True``): the fully compiled
+                PJRT executable (``jax.experimental.serialize_executable``),
+                tagged with the device kind. A loader on a matching device
+                skips XLA compilation entirely — measured on the v5e
+                serving boot path in artifacts/serve_coldstart_r4.json —
+                and falls back to the StableHLO program on any mismatch
+                or deserialization failure.
 
 Design notes (TPU-first):
 
@@ -81,12 +88,16 @@ def export_sampler(
     engine: SamplerEngine,
     path: str,
     platforms: Optional[tuple] = None,
+    precompile: bool = False,
 ) -> Dict[str, Any]:
     """Export ``engine``'s sampler (+ VAE decode) to a self-contained file.
 
     Returns the artifact's meta dict. ``platforms`` defaults to
     ``("cpu", "tpu")`` for portable programs and to the current backend when
     the config's compiled path contains Pallas kernels (see module notes).
+    ``precompile=True`` additionally embeds the serialized COMPILED
+    executable for the current backend/device kind, so a matching serving
+    host boots without any XLA compile (see module notes).
     """
     from jax import export as jexport
 
@@ -124,6 +135,21 @@ def export_sampler(
                 jax.jit(program), platforms=platforms, disabled_checks=[allow]
             )(noise_spec, text_spec, key_spec)
 
+    exec_blob = None
+    if precompile:
+        import pickle
+
+        from jax.experimental import serialize_executable as _se
+
+        with mp_ops.prenormalized_weights():
+            compiled = jax.jit(program).lower(
+                noise_spec, text_spec, key_spec).compile()
+        payload, in_tree, out_tree = _se.serialize(compiled)
+        exec_blob = pickle.dumps(
+            {"payload": payload, "in_tree": in_tree, "out_tree": out_tree,
+             "device_kind": jax.devices()[0].device_kind,
+             "jax_version": jax.__version__})
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -143,11 +169,14 @@ def export_sampler(
         "vae_kind": engine.vae_kind,
         "decode_included": True,
         "uses_pallas": _uses_pallas(cfg),
+        "precompiled_backend": backend if exec_blob is not None else None,
     }
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
         z.writestr("meta.json", json.dumps(meta, indent=1))
         z.writestr("sampler.bin", exp.serialize())
+        if exec_blob is not None:
+            z.writestr(f"exec_{backend}.pkl", exec_blob)
     with open(path, "wb") as f:
         f.write(buf.getvalue())
     return meta
@@ -164,19 +193,50 @@ class ExportedSampler:
         with zipfile.ZipFile(path) as z:
             self.meta = json.loads(z.read("meta.json"))
             blob = z.read("sampler.bin")
+            backend = jax.default_backend()
+            exec_name = f"exec_{backend}.pkl"
+            exec_blob = (z.read(exec_name)
+                         if exec_name in z.namelist() else None)
         if self.meta.get("format_version", 0) > _FORMAT_VERSION:
             raise ValueError(
                 f"artifact format {self.meta['format_version']} is newer than "
                 f"this loader ({_FORMAT_VERSION})"
             )
-        backend = jax.default_backend()
         if backend not in self.meta["platforms"]:
             raise ValueError(
                 f"artifact was exported for {self.meta['platforms']}, current "
                 f"backend is {backend}"
             )
-        exp = jexport.deserialize(blob)
-        self._call = jax.jit(exp.call)  # compile once per shape on first use
+        # Boot strategy: if a precompiled executable for this backend is
+        # embedded and the device kind matches, use it — zero XLA compile at
+        # boot. Robustness: some environment mismatches only surface at
+        # EXECUTION (e.g. a rehydrated device assignment that disagrees with
+        # the local topology), so the first call runs guarded and any
+        # failure transparently re-enters the StableHLO path (which then
+        # jit-compiles as usual). ``loaded_precompiled`` reports which path
+        # is live.
+        self._stablehlo_blob = blob
+        self._call = None
+        self.loaded_precompiled = False
+        if exec_blob is not None:
+            import pickle
+
+            try:
+                rec = pickle.loads(exec_blob)
+                if rec["device_kind"] != jax.devices()[0].device_kind:
+                    raise ValueError(
+                        f"precompiled for {rec['device_kind']!r}, device is "
+                        f"{jax.devices()[0].device_kind!r}")
+                from jax.experimental import serialize_executable as _se
+
+                loaded = _se.deserialize_and_load(
+                    rec["payload"], rec["in_tree"], rec["out_tree"])
+                self._call = self._guarded(loaded)
+                self.loaded_precompiled = True
+            except Exception as e:  # noqa: BLE001 — any failure => fallback
+                self._fallback_note(e, "load")
+        if self._call is None:
+            self._use_stablehlo()
         self.batch = int(self.meta["batch"])
         self._has_text = bool(self.meta["has_text"])
         self._shape = (
@@ -191,6 +251,32 @@ class ExportedSampler:
             else None
         )
         self._text_placeholder = jnp.zeros((1,), jnp.float32)
+
+    def _use_stablehlo(self):
+        from jax import export as jexport
+
+        exp = jexport.deserialize(self._stablehlo_blob)
+        self._call = jax.jit(exp.call)  # compile once per shape on first use
+        self.loaded_precompiled = False
+
+    def _guarded(self, loaded):
+        def call(*args):
+            try:
+                return loaded(*args)
+            except Exception as e:  # noqa: BLE001 — exec-time mismatch
+                self._fallback_note(e, "first execution")
+                self._use_stablehlo()
+                return self._call(*args)
+
+        return call
+
+    @staticmethod
+    def _fallback_note(e: Exception, stage: str):
+        import sys
+
+        print(f"deploy: precompiled executable unusable at {stage} "
+              f"({type(e).__name__}: {e}); falling back to StableHLO",
+              file=sys.stderr, flush=True)
 
     def sample(self, prompts: List[str], seed: int = 0) -> np.ndarray:
         """Sample len(prompts) images. NOT thread-safe — wrap in

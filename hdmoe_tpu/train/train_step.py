@@ -43,6 +43,14 @@ class TrainConfig:
     extreme_prob: float = 0.5
     transition_point: float = -1.2  # = p_mean (training.py:151)
     softness: float = 1.6  # = p_std (training.py:152)
+    # Flash-attention input layout for the TRAIN step. The transposed
+    # pipeline ("t", the sampler default) eliminates forward layout copies,
+    # but its BACKWARD pays explicit transposes around the fused kernel —
+    # measured 2x dense on the tg64 seq-4096 step (142.2 vs 72.5 ms at b4)
+    # where the std layout matches dense (72.3 ms) and wins outright at
+    # b16 where dense OOMs (artifacts/tg64_bwd_recheck_r4.json). Training
+    # therefore pins "std"; sampling keeps "t".
+    attn_layout: str = "std"
 
 
 def init_train_state(params, optim_cfg: OptimConfig) -> TrainState:
@@ -88,6 +96,14 @@ def _make_grads_fn(
     """
 
     def grads_fn(params, step, latents, text_emb, key):
+        # trace-time flash-layout pin (TrainConfig.attn_layout): the context
+        # wraps the whole fwd+bwd trace in _grads_body
+        from hdmoe_tpu.ops.attention import attn_layout as _attn_layout
+
+        with _attn_layout(train_cfg.attn_layout):
+            return _grads_body(params, step, latents, text_emb, key)
+
+    def _grads_body(params, step, latents, text_emb, key):
         b = latents.shape[0]
         k_sigma, k_noise, k_model = jax.random.split(key, 3)
         sigma = sample_sigma_hybrid(

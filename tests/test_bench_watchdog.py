@@ -26,8 +26,12 @@ def _run(snippet: str, timeout: float = 60.0):
 
 
 def test_watchdog_kills_blocked_run_without_score():
+    """With NO last-good measurement on disk, a pre-line-1 wedge exits 3
+    with no stdout JSON (the original contract; LAST_GOOD is pointed at a
+    nonexistent path because the repo now ships a real last-good file)."""
     r = _run(
         "import bench, time\n"
+        "bench.LAST_GOOD = '/nonexistent/bench_last_good.json'\n"
         "bench._watchdog(1.0, 'test-phase')\n"  # 1 s deadline
         "time.sleep(30)\n"
         "print('{\"metric\": \"should-never-print\"}')\n"
@@ -35,6 +39,30 @@ def test_watchdog_kills_blocked_run_without_score():
     assert r.returncode == 3
     assert r.stdout.strip() == ""  # no JSON line reaches the driver
     assert "presumed wedged" in r.stderr
+
+
+def test_watchdog_replays_last_good_on_wedge():
+    """With a last-good measurement on disk, a pre-line-1 wedge REPLAYS it:
+    exit 0, one JSON line, explicitly labeled a replay with its age — never
+    mistakable for a fresh number."""
+    import json
+
+    r = _run(
+        "import bench, time, json, os, tempfile\n"
+        "p = os.path.join(tempfile.mkdtemp(), 'lg.json')\n"
+        "json.dump({'metric': 'm', 'value': 2.5,\n"
+        "           '_measured_unix': time.time() - 7200}, open(p, 'w'))\n"
+        "bench.LAST_GOOD = p\n"
+        "bench._watchdog(1.0, 'test-phase')\n"
+        "time.sleep(30)\n"
+        "print('{\"metric\": \"should-never-print\"}')\n"
+    )
+    assert r.returncode == 0
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["value"] == 2.5
+    assert line["measurement"].startswith("replayed:")
+    assert "2.0 h ago" in line["measurement"]
+    assert "_measured_unix" not in line
 
 
 def test_watchdog_exits_zero_after_headline_line():

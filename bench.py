@@ -306,9 +306,12 @@ def main():
 
     fingerprint = _source_fingerprint()
 
-    # ---- FAST PATH FIRST (round-3 dial settings, PERF.md) -----------------
+    # ---- FAST PATH FIRST (round-3 dials + round-4 einsum dispatch) --------
+    # dispatch="einsum": one-hot MXU matmul token movement, +9.6% over the
+    # gather/scatter capacity path same-session (311.8 -> 341.8 img/s,
+    # artifacts/einsum_dispatch_ab_r4.json); bit-grade equal outputs.
     fast_cfg = replace(
-        base_cfg, compute_dtype="bfloat16", dispatch="capacity",
+        base_cfg, compute_dtype="bfloat16", dispatch="einsum",
         capacity_factor=1.0, use_flash=True, capacity_policy="priority",
     )
     text_f, noise_f = _inputs(FAST_BATCH)

@@ -194,16 +194,21 @@ def _cmd_fid(args):
 SERVE_DIALS = {
     # reference-faithful fp32 dense Heun-35 (FID anchor 1.43, ~75 img/s)
     "parity": (dict(), "heun", 18),
-    # dpm20 + cf=2.0 priority: tower-FID 1.02-1.08 (beats the dense
-    # anchor), 306 img/s at --batch-size 512 (frontier_b512_r3.json);
-    # 50k-confirmed (1.0301, fid50k_r3.json)
+    # dpm20 + cf=2.0 priority: tower-FID 1.02-1.08 on the canonical
+    # checkpoint (50k-confirmed 1.0301, fid50k_r3.json), 306 img/s at
+    # --batch-size 512 — but the dense-beating inversion is checkpoint-
+    # dependent (PERF.md round-4 second-checkpoint validation): sweep your
+    # checkpoint before trusting the quality ranking.
+    # dispatch="einsum" (round 4): same capacity semantics, one-hot MXU
+    # matmul token movement, +9.6% (einsum_dispatch_ab_r4.json).
     "quality": (dict(compute_dtype="bfloat16", use_flash=True,
-                     dispatch="capacity", capacity_factor=2.0,
+                     dispatch="einsum", capacity_factor=2.0,
                      capacity_policy="priority"), "dpmpp2m", 20),
     # dpm14 + cf=1.0 priority: 670 img/s at --batch-size 512 at the
-    # capacity dial's FID ~2.1 (frontier_b512_r3.json)
+    # capacity dial's FID ~2.1 (frontier_b512_r3.json); einsum dispatch
+    # round 4 (+9.6% at the 35-NFE point, einsum_dispatch_ab_r4.json)
     "throughput": (dict(compute_dtype="bfloat16", use_flash=True,
-                        dispatch="capacity", capacity_factor=1.0,
+                        dispatch="einsum", capacity_factor=1.0,
                         capacity_policy="priority"), "dpmpp2m", 14),
 }
 

@@ -426,3 +426,31 @@ def test_engine_guidance_active():
     vae = make_vae("fake", target_std=cfg.sigma_data)
     expected = np.asarray(vae.decode(jnp.asarray(latents)))
     np.testing.assert_array_equal(guided, expected)
+
+
+def test_dp_sharded_engine_einsum_dispatch_matches_single_device():
+    """dispatch="einsum" (one-hot MXU matmul token movement, the round-4
+    serving fast path) composes with DP-sharded sampling: same latents as
+    the single-device einsum engine under GSPMD partitioning."""
+    from dataclasses import replace as _replace
+
+    from hdmoe_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = _replace(tiny_cfg(), dispatch="einsum", capacity_factor=1.0,
+                   capacity_policy="priority")
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    n_data = min(4, jax.device_count())
+    single = SamplerEngine(cfg, params, batch=n_data, num_steps=2)
+    mesh = make_mesh(MeshConfig(data=n_data, model=jax.device_count() // n_data, expert=1))
+    dp = SamplerEngine(cfg, params, batch=n_data, num_steps=2, mesh=mesh)
+    import jax.numpy as jnp
+
+    noise = jax.random.normal(jax.random.PRNGKey(5), (n_data, cfg.img_resolution,
+                                                      cfg.img_resolution, cfg.in_channels))
+    text = single.clip.encode_text([f"p{i}" for i in range(n_data)])
+    k = jax.random.PRNGKey(6)
+    lat_a = np.asarray(single._sample(noise, text, k))
+    lat_b = np.asarray(dp._sample(noise, jnp.asarray(text), k))
+    np.testing.assert_allclose(lat_a, lat_b, rtol=1e-3, atol=1e-3)

@@ -280,18 +280,18 @@ def hdmoem_apply(
         from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked
 
         cap = cfg.capacity(b)
-        use_pallas = cfg.dispatch == "pallas"
+        movement = cfg.dispatch if cfg.dispatch in ("pallas", "einsum") else "gather"
         out_unet_expert = moe_dispatch_stacked(
             in_unet_router, params["unet_experts"]["stacked_experts"],
             partial(_stacked_unet_fn, ecfg=_unet_expert_cfg(cfg, 0)),
             out_unet_router, time_embed, text_emb, capacity=cap, train=train, key=keys[3],
-            use_pallas=use_pallas, top_k=cfg.top_k,
+            movement=movement, top_k=cfg.top_k,
         )
         out_vit_expert = moe_dispatch_stacked(
             in_vit_router, params["vit_experts"]["stacked_experts"],
             partial(_stacked_vit_fn, ecfg=_vit_expert_cfg(cfg, 0)),
             out_vit_router, time_embed, text_emb, capacity=cap, train=train, key=keys[4],
-            use_pallas=use_pallas, top_k=cfg.top_k,
+            movement=movement, top_k=cfg.top_k,
         )
     elif cfg.dispatch == "grouped":
         cap = cfg.capacity(b)
@@ -410,7 +410,8 @@ def _class_bank_dispatch(
             out = out + moe_dispatch_stacked(
                 x, bank, partial(fn, ecfg=ecfg), gate_g, time_emb, text_emb,
                 capacity=capacity, train=train, key=keys[g],
-                use_pallas=cfg.dispatch == "pallas", top_k=cfg.top_k,
+                movement=(cfg.dispatch if cfg.dispatch in ("pallas", "einsum")
+                          else "gather"), top_k=cfg.top_k,
             )
     return out
 

@@ -65,6 +65,7 @@ def moe_dispatch_stacked(
     key: Optional[jax.Array] = None,
     use_pallas: bool = False,
     top_k: int = 1,
+    movement: str = "gather",
 ) -> jnp.ndarray:
     """Gather -> one vmapped expert bank -> weighted scatter combine.
 
@@ -72,23 +73,43 @@ def moe_dispatch_stacked(
     single-expert forward; it is vmapped over the leading expert axis of
     ``stacked_params`` and the gathered (E, C, ...) batches.
 
-    ``use_pallas=True`` routes the token movement through the Pallas
-    dispatch/combine kernels (ops/pallas/moe_kernels.py) instead of XLA
-    gather/scatter — identical numerics, explicit DMA data movement.
+    Token ``movement`` (identical numerics in all three):
+      "gather"  XLA gather/scatter-add (the default; all-to-all under
+                expert sharding)
+      "pallas"  the Pallas dispatch/combine kernels
+                (ops/pallas/moe_kernels.py) — explicit DMA data movement
+      "einsum"  one-hot MXU matmuls with the gate weight folded into the
+                combine contraction (GShard-style; +9.6% on the b512
+                flagship sampler for the per-expert path,
+                artifacts/einsum_dispatch_ab_r4.json)
+    ``use_pallas=True`` is the legacy spelling of ``movement="pallas"``.
     """
     b = x.shape[0]
     e = gate_weights.shape[1]
+    if use_pallas:
+        movement = "pallas"
     if text_emb is not None and text_emb.ndim == 3:
         text_emb = text_emb.mean(axis=1)
 
     idx, weights = expert_assignment(gate_weights.astype(jnp.float32), capacity)
 
-    if use_pallas:
+    if movement == "pallas":
         from hdmoe_tpu.ops.pallas.moe_kernels import dispatch_rows
 
         xg = dispatch_rows(x, idx)
         tg = dispatch_rows(time_emb, idx)
         txg = dispatch_rows(text_emb, idx) if text_emb is not None else None
+    elif movement == "einsum":
+        from hdmoe_tpu.models.moe import _onehot_matmul
+
+        disp = jax.nn.one_hot(idx.reshape(-1), b, dtype=x.dtype)  # (E*C, B)
+
+        def _oh(t):
+            return _onehot_matmul(disp, t).reshape(e, capacity, *t.shape[1:])
+
+        xg = _oh(x)
+        tg = _oh(time_emb)
+        txg = _oh(text_emb) if text_emb is not None else None
     else:
         xg = x[idx]  # (E, C, H, W, Cin) — all-to-all under expert sharding
         tg = time_emb[idx]
@@ -109,11 +130,21 @@ def moe_dispatch_stacked(
             stacked_params, xg, tg, txg
         )
 
-    if use_pallas:
+    if movement == "pallas":
         from hdmoe_tpu.ops.pallas.moe_kernels import combine_rows, combine_tables
 
         slots, w_tab = combine_tables(idx, weights, b, top_k)
         return combine_rows(out_e, slots, w_tab).astype(x.dtype)
+    if movement == "einsum":
+        from hdmoe_tpu.models.moe import _onehot_matmul
+
+        # (B, E*C) combine matrix with the gate weights folded in: each
+        # column holds one (expert, slot) contribution — <= top_k nonzeros
+        # per row, so the contraction is an exact weighted select.
+        comb = (jax.nn.one_hot(idx.reshape(-1), b, dtype=x.dtype)
+                * weights.reshape(-1, 1).astype(x.dtype)).T  # (B, E*C)
+        out_flat = out_e.reshape(e * capacity, *x.shape[1:])
+        return _onehot_matmul(comb, out_flat).astype(x.dtype)
     w = weights.astype(x.dtype)[..., None, None, None]  # (E, C, 1, 1, 1)
     flat_idx = idx.reshape(-1)
     contrib = (out_e * w).reshape(e * capacity, *x.shape[1:])

@@ -480,3 +480,59 @@ def test_einsum_dispatch_with_priority_policy_in_model():
                             x, sigma, txt, mask, mask, 0.0)["denoised"]
     assert np.isfinite(np.asarray(out_ein)).all()
     np.testing.assert_allclose(np.asarray(out_ein), np.asarray(out_cap), atol=2e-5, rtol=2e-5)
+
+
+def test_stacked_einsum_matches_gather():
+    """moe_dispatch_stacked(movement="einsum") == the gather path (values +
+    grads), incl. folded gate weights in the combine contraction."""
+    from hdmoe_tpu.models.moe_stacked import moe_dispatch_stacked, stacked_expert_init
+
+    e, b = 4, 8
+    x = jax.random.normal(KEY, (b, H, W, C))
+    t = jnp.zeros((b, 4))
+    gate = jax.nn.one_hot(jnp.array([0, 1, 2, 3, 0, 1, 2, 3]), e) * 0.9
+
+    def init_one(k):
+        return {"s": jax.random.normal(k, ())}
+
+    stacked = stacked_expert_init(jax.random.PRNGKey(5), e, init_one)
+
+    def apply_fn(p, xx, tt, txt, *, train=False, key=None):
+        return xx * p["s"]
+
+    for cap in (b, 2):  # exact and overflow-dropping regimes
+        ref = moe_dispatch_stacked(x, stacked, apply_fn, gate, t, None, capacity=cap)
+        ein = moe_dispatch_stacked(x, stacked, apply_fn, gate, t, None, capacity=cap,
+                                   movement="einsum")
+        np.testing.assert_allclose(np.asarray(ein), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    g_ref = jax.grad(lambda s: jnp.sum(moe_dispatch_stacked(
+        x, s, apply_fn, gate, t, None, capacity=b) ** 2))(stacked)
+    g_ein = jax.grad(lambda s: jnp.sum(moe_dispatch_stacked(
+        x, s, apply_fn, gate, t, None, capacity=b, movement="einsum") ** 2))(stacked)
+    np.testing.assert_allclose(np.asarray(g_ein["s"]), np.asarray(g_ref["s"]), rtol=1e-5)
+
+
+def test_stacked_einsum_full_model_matches_stacked_gather():
+    """Whole model: expert_sharing="stacked" + dispatch="einsum" equals the
+    gather movement (the EP-scalable fast path)."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import precond_apply, precond_init
+    from tests.test_model import tiny_cfg
+
+    cfg = replace(tiny_cfg(num_experts=4,
+                           unet_kernel_sizes=((3, 3),) * 4,
+                           vit_patch_sizes=(4, 4, 4, 4)),
+                  expert_sharing="stacked", capacity_factor=2.0)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    b = 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 4))
+    sigma = jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, 1)))
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b, 7, 12))
+    mask = jnp.ones((b, 4))
+
+    out_g = precond_apply(params, cfg, x, sigma, txt, mask, mask, 0.0)["denoised"]
+    out_e = precond_apply(params, replace(cfg, dispatch="einsum"),
+                          x, sigma, txt, mask, mask, 0.0)["denoised"]
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_g), atol=2e-5, rtol=2e-5)

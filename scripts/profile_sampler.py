@@ -63,8 +63,12 @@ def main():
         key, (BATCH, base_cfg.img_resolution, base_cfg.img_resolution, base_cfg.in_channels)
     )
 
-    # the current fast config (round-2d): bf16 + cf1.0 + small-head flash
-    cfg = replace(base_cfg, compute_dtype="bfloat16", dispatch="capacity",
+    # the current fast config: bf16 + cf1.0 + small-head flash; dispatch
+    # and policy overridable (round 4: PROFILE_DISPATCH=einsum profiles the
+    # one-hot-matmul movement fast path)
+    cfg = replace(base_cfg, compute_dtype="bfloat16",
+                  dispatch=os.environ.get("PROFILE_DISPATCH", "capacity"),
+                  capacity_policy=os.environ.get("PROFILE_POLICY", "fcfs"),
                   capacity_factor=1.0, use_flash=True)
     fparams = project_mp_weights(params)
 

@@ -51,6 +51,8 @@ def test_cli_export_help():
     r = _run(["export", "--help"])
     assert r.returncode == 0
     assert "--checkpoint" in r.stdout and "--out" in r.stdout
+    # round-4 surface: dial-config export + embedded precompiled executable
+    assert "--dial" in r.stdout and "--precompile" in r.stdout
 
 
 def test_cli_posthoc_ema_roundtrip(tmp_path):

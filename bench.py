@@ -317,6 +317,18 @@ def main():
     text_f, noise_f = _inputs(FAST_BATCH)
     sample_f = _load_aot("fast", fingerprint)
     fast_live = sample_f is None
+    if not fast_live:
+        # An artifact can deserialize but still fail at FIRST EXECUTION
+        # (platform mismatch, expired export-compat window). That must fall
+        # back to the live path, not crash pre-line-1 with no JSON
+        # (round-4 review finding).
+        try:
+            float(sample_f(noise_f)[0, 0, 0, 0])
+        except Exception as e:
+            print(f"bench: fast AOT artifact unusable at execution "
+                  f"({type(e).__name__}: {e}); falling back to live build",
+                  file=sys.stderr, flush=True)
+            sample_f, fast_live = None, True
     if fast_live:
         print(f"bench: fast-path trace+compile starting at t={_elapsed():.0f}s",
               file=sys.stderr, flush=True)
@@ -338,6 +350,14 @@ def main():
     text_p, noise_p = _inputs(PARITY_BATCH)
     sample_p = _load_aot("parity", fingerprint)
     parity_live = sample_p is None
+    if not parity_live:
+        try:  # same exec-time guard as the fast path; line 1 already stands
+            float(sample_p(noise_p)[0, 0, 0, 0])
+        except Exception as e:
+            print(f"bench: parity AOT artifact unusable at execution "
+                  f"({type(e).__name__}: {e}); falling back to live build",
+                  file=sys.stderr, flush=True)
+            sample_p, parity_live = None, True
     if parity_live:
         print(f"bench: parity trace+compile starting at t={_elapsed():.0f}s",
               file=sys.stderr, flush=True)

@@ -152,6 +152,13 @@ class StabilityVAE:
         if os.path.isdir(src):
             try:
                 self._params, self._native_cfg = vae_native.load_torch_vae_params(src)
+                # honor the checkpoint's own scaling_factor (round-4 review
+                # finding: an SDXL-style config.json declares 0.13025 —
+                # scaling with the SD-1.x default would silently mis-scale
+                # latents ~40%). An explicit constructor override wins.
+                if self.scale_factor == 0.18215:  # default, not user-chosen
+                    self.scale_factor = float(self._native_cfg.scaling_factor)
+                    self.enc_scaler = self.scale_factor * self.target_std
                 self._jit_encode = jax.jit(
                     lambda px: vae_native.vae_encode(self._params, self._native_cfg, px))
                 self._jit_decode = jax.jit(

@@ -34,6 +34,21 @@ DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
 _enabled_dir: str | None = None
 
 
+def _cpu_pinned() -> bool:
+    """True when this process is pinned to the CPU backend — via the
+    JAX_PLATFORM_NAME env var OR an already-applied
+    ``jax.config.update("jax_platforms", "cpu")`` (smoke/dryrun scripts
+    self-pin through jax.config only; round-4 review finding)."""
+    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+        return True
+    try:
+        import jax
+
+        return (jax.config.jax_platforms or "").lower() == "cpu"
+    except Exception:
+        return False
+
+
 def enable_persistent_cache(path: str | None = None,
                             min_compile_secs: float = 10.0) -> str | None:
     """Point JAX's persistent compilation cache at ``path`` (idempotent).
@@ -47,14 +62,16 @@ def enable_persistent_cache(path: str | None = None,
     env = os.environ.get("HDMOE_COMPILE_CACHE", "")
     if env.lower() in ("off", "0", "none"):
         return None
-    # CPU-pinned runs (tests, dryruns, smoke — all set JAX_PLATFORM_NAME=cpu
-    # or jax_platforms=cpu in this repo) must NOT share the cache: XLA:CPU
-    # AOT results bake host machine features, and session hosts vary — a
-    # cache entry compiled on an AVX-512/AMX host loads on a weaker host
-    # with "could lead to execution errors such as SIGILL" (observed
-    # round 4). The expensive compiles the cache exists for are the TPU
-    # tunnel ones; CPU compiles are seconds.
-    if env == "" and os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+    # CPU-pinned runs (tests, dryruns, smoke — pinned via JAX_PLATFORM_NAME
+    # or jax.config jax_platforms in this repo) must NOT share the cache:
+    # XLA:CPU AOT results bake host machine features, and session hosts
+    # vary — a cache entry compiled on an AVX-512/AMX host loads on a
+    # weaker host with "could lead to execution errors such as SIGILL"
+    # (observed round 4). The expensive compiles the cache exists for are
+    # the TPU tunnel ones; CPU compiles are seconds. An EXPLICIT opt-in
+    # (env var or path argument) bypasses the guard — a caller-chosen
+    # per-host cache has none of the cross-host risk.
+    if env == "" and path is None and _cpu_pinned():
         return None
     path = path or env or DEFAULT_DIR
     path = os.path.abspath(path)

@@ -260,9 +260,20 @@ class ExportedSampler:
         self.loaded_precompiled = False
 
     def _guarded(self, loaded):
+        state = {"proven": False}
+
         def call(*args):
-            try:
+            if state["proven"]:
                 return loaded(*args)
+            try:
+                out = loaded(*args)
+                # async dispatch can surface an exec-time mismatch at the
+                # RESULT FETCH (outside any caller try); block on the first
+                # call so the failure lands here and triggers the fallback.
+                # Later calls skip the barrier and pipeline normally.
+                jax.block_until_ready(out)
+                state["proven"] = True
+                return out
             except Exception as e:  # noqa: BLE001 — exec-time mismatch
                 self._fallback_note(e, "first execution")
                 self._use_stablehlo()

@@ -36,7 +36,10 @@ timeout 21600 python scripts/dial_second_ckpt_r4.py > "$LOGDIR/dial2.log" 2>&1
 note "  exit $? (artifacts/dial_second_ckpt_r4/RESULTS.json)"
 
 note "4/5 bench.py warm rehearsal under the driver-like 900 s window"
-timeout 900 python bench.py > "$LOGDIR/bench_warm_rehearsal.json" 2> "$LOGDIR/bench_warm.log"
+# internal deadlines must sit INSIDE the external window so a wedge is
+# replayed by bench's own watchdog, not SIGKILLed scoreless (r4 review)
+HDMOE_BENCH_DISCOVERY_S=500 HDMOE_BENCH_TOTAL_S=800 \
+  timeout 900 python bench.py > "$LOGDIR/bench_warm_rehearsal.json" 2> "$LOGDIR/bench_warm.log"
 note "  exit $? ($LOGDIR/bench_warm_rehearsal.json)"
 
 note "queue done"

@@ -97,7 +97,12 @@ def test_emit_lines_are_complete_records():
     """Every _emit line must parse standalone and carry the driver schema
     keys, so whichever line is LAST is always a valid score."""
     r = _run(
-        "import bench\n"
+        # LAST_GOOD must be redirected: _emit persists its record there, and
+        # the repo file is the REAL replay source for a wedged driver bench
+        # (r4 self-review finding: without this, running the suite clobbers
+        # the committed TPU measurement with this test's fabricated values)
+        "import bench, os, tempfile\n"
+        "bench.LAST_GOOD = os.path.join(tempfile.mkdtemp(), 'lg.json')\n"
         "bench._emit(100.0, 1.0, 50.0, 'cached:test', 'cpu', {})\n"
         "bench._emit(100.0, 1.0, 40.0, 'measured', 'cpu', {'extra': 1})\n"
     )

@@ -33,15 +33,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synth_vae(out: str, small: bool = False, seed: int = 0) -> str:
+def synth_vae_state(cfg, seed: int = 0, bias: str = "zeros") -> dict:
+    """Random torch-layout SD-VAE state dict for ``cfg`` — the ONE place
+    that knows the norm/bias/conv key-classification rule (shared with
+    tests/test_vae_native.py so the synthesized checkpoints and the test's
+    torch-mirror comparison cannot drift apart; round-4 review finding).
+
+    ``bias="randn"`` gives small nonzero biases so bias-handling bugs
+    can't hide (the tests' choice); "zeros" matches the script's
+    checkpoints."""
     import numpy as np
-    from safetensors.numpy import save_file
 
-    from hdmoe_tpu.adapters.vae_native import VAEConfig, sd_vae_state_shapes
+    from hdmoe_tpu.adapters.vae_native import sd_vae_state_shapes
 
-    cfg = (VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
-                     norm_num_groups=8)
-           if small else VAEConfig())
     rng = np.random.RandomState(seed)
     state = {}
     for k, shp in sorted(sd_vae_state_shapes(cfg).items()):
@@ -49,9 +53,22 @@ def synth_vae(out: str, small: bool = False, seed: int = 0) -> str:
         if k.endswith(".weight") and ("norm" in last):
             state[k] = np.ones(shp, dtype=np.float32)
         elif k.endswith(".bias"):
-            state[k] = np.zeros(shp, dtype=np.float32)
+            state[k] = (np.zeros(shp, dtype=np.float32) if bias == "zeros"
+                        else (rng.randn(*shp) * 0.01).astype(np.float32))
         else:
             state[k] = (rng.randn(*shp) * 0.05).astype(np.float32)
+    return state
+
+
+def synth_vae(out: str, small: bool = False, seed: int = 0) -> str:
+    from safetensors.numpy import save_file
+
+    from hdmoe_tpu.adapters.vae_native import VAEConfig
+
+    cfg = (VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                     norm_num_groups=8)
+           if small else VAEConfig())
+    state = synth_vae_state(cfg, seed=seed, bias="zeros")
     os.makedirs(out, exist_ok=True)
     save_file(state, os.path.join(out, "diffusion_pytorch_model.safetensors"))
     with open(os.path.join(out, "config.json"), "w") as f:

@@ -40,18 +40,17 @@ SMALL = VAEConfig(block_out_channels=(32, 64), layers_per_block=1, norm_num_grou
 
 
 def _random_state(cfg, seed=0):
-    rng = np.random.RandomState(seed)
-    state = {}
-    for k, shp in sorted(sd_vae_state_shapes(cfg).items()):
-        last = k.rsplit(".", 2)[-2]
-        if k.endswith(".weight") and "norm" in last:
-            state[k] = np.ones(shp, dtype=np.float32)
-        elif k.endswith(".bias"):
-            # nonzero biases so bias-handling bugs can't hide
-            state[k] = (rng.randn(*shp) * 0.01).astype(np.float32)
-        else:
-            state[k] = (rng.randn(*shp) * 0.05).astype(np.float32)
-    return state
+    # shared key-classification rule with the checkpoint synthesizer (one
+    # source of truth; round-4 review finding) — nonzero biases so
+    # bias-handling bugs can't hide
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from synthesize_hf_checkpoints import synth_vae_state
+
+    return synth_vae_state(cfg, seed=seed, bias="randn")
 
 
 # ---------------------------------------------------------------------------

@@ -127,14 +127,20 @@ class StabilityVAE:
     def __init__(
         self,
         vae_name: str = "stabilityai/sd-vae-ft-mse",
-        scale_factor: float = 0.18215,
+        scale_factor: Optional[float] = None,
         target_std: float = 0.5,
         local_path: Optional[str] = None,
     ):
         self.vae_name = vae_name
-        self.scale_factor = scale_factor
+        # None = "not user-chosen": default to the SD-1.x constant but let a
+        # loaded checkpoint's own scaling_factor override it. An EXPLICIT
+        # value — even 0.18215 itself — always wins (round-4 advisor
+        # finding: the old sentinel comparison silently overrode a caller
+        # who deliberately pinned 0.18215 on an SDXL-style checkpoint).
+        self._scale_user_chosen = scale_factor is not None
+        self.scale_factor = 0.18215 if scale_factor is None else scale_factor
         self.target_std = target_std
-        self.enc_scaler = scale_factor * target_std
+        self.enc_scaler = self.scale_factor * target_std
         self.local_path = local_path
         self._vae = None          # diffusers Flax module (fallback path)
         self._params = None
@@ -156,7 +162,7 @@ class StabilityVAE:
                 # finding: an SDXL-style config.json declares 0.13025 —
                 # scaling with the SD-1.x default would silently mis-scale
                 # latents ~40%). An explicit constructor override wins.
-                if self.scale_factor == 0.18215:  # default, not user-chosen
+                if not self._scale_user_chosen:
                     self.scale_factor = float(self._native_cfg.scaling_factor)
                     self.enc_scaler = self.scale_factor * self.target_std
                 self._jit_encode = jax.jit(

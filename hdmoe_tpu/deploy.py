@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import zipfile
 from typing import Any, Dict, List, Optional
 
@@ -215,9 +216,19 @@ class ExportedSampler:
         # failure transparently re-enters the StableHLO path (which then
         # jit-compiles as usual). ``loaded_precompiled`` reports which path
         # is live.
+        # TRUST BOUNDARY: the precompiled path pickle.loads an executable
+        # record from the artifact — loading an UNTRUSTED .hdmoe file is
+        # arbitrary code execution (pickle), and even the StableHLO path
+        # runs whatever program the artifact encodes. Artifacts must come
+        # from a trusted `hdmoe_tpu export` of your own; treat them like
+        # wheels, not like data files. HDMOE_PRECOMPILED=off disables the
+        # pickle path entirely (StableHLO-only boot, narrower parse
+        # surface) without touching the artifact. (Round-4 advisor finding.)
         self._stablehlo_blob = blob
         self._call = None
         self.loaded_precompiled = False
+        if os.environ.get("HDMOE_PRECOMPILED", "").lower() in ("off", "0", "none"):
+            exec_blob = None
         if exec_blob is not None:
             import pickle
 

@@ -73,7 +73,11 @@ def moe_dispatch_stacked(
     single-expert forward; it is vmapped over the leading expert axis of
     ``stacked_params`` and the gathered (E, C, ...) batches.
 
-    Token ``movement`` (identical numerics in all three):
+    Token ``movement`` (identical numerics for fp32 and for top-1; at
+    top_k>1 under bf16 the einsum combine accumulates all k contributions
+    in ONE f32 matmul with a single output cast, while the gather path
+    scatter-adds in x.dtype — a ulp-level divergence in einsum's favor,
+    equal-or-better precision):
       "gather"  XLA gather/scatter-add (the default; all-to-all under
                 expert sharding)
       "pallas"  the Pallas dispatch/combine kernels

@@ -65,6 +65,20 @@ class HDMOEMConfig:
     #              of the capacity-drop FID gap under the sigma-correlated
     #              routing of EDM sampling (PERF.md serving dial).
     capacity_policy: str = "fcfs"
+    # Round-5 load-profiled per-expert capacities (serving dial). Fractions
+    # of the batch, one per expert, slack baked in: expert i's capacity is
+    # ceil(frac_i * B) instead of the uniform cf*B*k/E. Rationale: under
+    # mixed-sigma batches (training, or the staggered sampler) the routers'
+    # per-expert load shares are stable but UNEQUAL (measured
+    # [0.32, 0.00, 0.16, 0.52] on the checkpoint of record,
+    # artifacts/router_telemetry_r5.json) — uniform capacity must choose
+    # between drops (cf=1) and ~2x FLOPs (cf=2); profiled capacities cover
+    # the measured load at ~1.25x. Calibrate per checkpoint with
+    # scripts/router_telemetry_r5.py. Only the per-expert ("heterogeneous")
+    # sharing path supports this (experts are separate compile units there);
+    # stacked/class_banks banks need uniform shapes.
+    capacity_profile_unet: Optional[Tuple[float, ...]] = None
+    capacity_profile_vit: Optional[Tuple[float, ...]] = None
     use_flash: bool = False  # Pallas flash-attention core on TPU
     # Attention core selection: "auto" (flash iff use_flash), "dense",
     # "flash", or "ring" (sequence-parallel over a mesh axis; needs an
@@ -126,6 +140,23 @@ class HDMOEMConfig:
 
         cap = math.ceil(self.capacity_factor * batch_size * self.top_k / self.num_experts)
         return max(1, min(batch_size, cap))
+
+    def capacity_for(self, batch_size: int, path: str):
+        """Per-path capacity: the load profile's per-expert ceil(frac*B)
+        tuple when set (see capacity_profile_unet/vit), else the uniform
+        scalar ``capacity(B)``."""
+        import math
+
+        profile = (self.capacity_profile_unet if path == "unet"
+                   else self.capacity_profile_vit)
+        if profile is None:
+            return self.capacity(batch_size)
+        assert len(profile) == self.num_experts, (path, profile)
+        assert self.expert_sharing == "heterogeneous", (
+            "capacity_profile needs per-expert compile units "
+            "(expert_sharing='heterogeneous'); banks are uniform-shape")
+        return tuple(max(1, min(batch_size, math.ceil(f * batch_size)))
+                     for f in profile)
 
     @property
     def attn_impl(self) -> str:

@@ -242,10 +242,12 @@ def hdmoem_apply(
         # holds <= capacity tokens, so the FCFS selection inside the dispatch
         # paths below never drops a surviving token. Under all-to-all EP the
         # guarantee is per-global-expert, not per-shard (local capacity can
-        # still clip) — best effort there.
-        cap = cfg.capacity(b)
-        out_unet_router = moe.reroute_overflow(out_unet_router, unet_gate_probs, cap)
-        out_vit_router = moe.reroute_overflow(out_vit_router, vit_gate_probs, cap)
+        # still clip) — best effort there. Capacity may be per-expert
+        # (capacity_profile_*; scalar on the bank paths).
+        out_unet_router = moe.reroute_overflow(
+            out_unet_router, unet_gate_probs, cfg.capacity_for(b, "unet"))
+        out_vit_router = moe.reroute_overflow(
+            out_vit_router, vit_gate_probs, cfg.capacity_for(b, "vit"))
 
     if cfg.expert_sharing == "stacked" and cfg.ep_all_to_all:
         from hdmoe_tpu.parallel.ep import all_to_all_moe_dispatch, current_ep_context
@@ -314,14 +316,16 @@ def hdmoem_apply(
             partial(_vit_fn, params["vit_experts"][i], _vit_expert_cfg(cfg, i), cfg.remat_experts)
             for i in range(cfg.num_experts)
         ]
-        capacity = cfg.capacity(b) if cfg.dispatch in ("capacity", "einsum", "pallas") else None
+        limited = cfg.dispatch in ("capacity", "einsum", "pallas")
         out_unet_expert = moe.moe_dispatch(
             in_unet_router, unet_fns, out_unet_router, time_embed, text_emb,
-            mode=cfg.dispatch, capacity=capacity, top_k=cfg.top_k, train=train, key=keys[3],
+            mode=cfg.dispatch, capacity=cfg.capacity_for(b, "unet") if limited else None,
+            top_k=cfg.top_k, train=train, key=keys[3],
         )
         out_vit_expert = moe.moe_dispatch(
             in_vit_router, vit_fns, out_vit_router, time_embed, text_emb,
-            mode=cfg.dispatch, capacity=capacity, top_k=cfg.top_k, train=train, key=keys[4],
+            mode=cfg.dispatch, capacity=cfg.capacity_for(b, "vit") if limited else None,
+            top_k=cfg.top_k, train=train, key=keys[4],
         )
 
     out_unet_flat = out_unet_expert.reshape(b, h * w, cfg.internal_channels)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 def reroute_overflow(
     gate_weights: jnp.ndarray,
     gate_probs: jnp.ndarray,
-    capacity: int,
+    capacity,
 ) -> jnp.ndarray:
     """Confidence-prioritized capacity selection + overflow-to-next-choice.
 
@@ -63,8 +63,17 @@ def reroute_overflow(
     (moe_dispatch_capacity / expert_assignment / grouped / pallas) keeps
     every surviving token. Total per-token weight is preserved for kept and
     rerouted tokens. Wired behind ``HDMOEMConfig.capacity_policy="priority"``.
+
+    ``capacity`` may be a scalar or a per-expert (E,) vector — the round-5
+    load-profiled heterogeneous-capacity dial (capacity_profile in configs):
+    experts are separate compile units, so each can be provisioned for its
+    own measured share of the mixed-sigma routing load instead of the
+    uniform cf*B/E (artifacts/router_telemetry_r5.json measured the steady-
+    state shares at [0.32, 0.00, 0.16, 0.52] — uniform capacity either
+    drops heavily at cf=1 or doubles FLOPs at cf=2).
     """
     b, e = gate_weights.shape
+    capacity = jnp.asarray(capacity)  # scalar or (E,); broadcasts below
     probs = gate_probs.astype(jnp.float32)
     w = gate_weights.astype(jnp.float32)
     routed = w > 0
@@ -142,6 +151,7 @@ def moe_dispatch_capacity(
     (standard MoE capacity semantics).
     """
     b = x.shape[0]
+    caps = _per_expert_caps(capacity, len(expert_fns))
     if text_emb is not None and text_emb.ndim == 3:
         text_emb = text_emb.mean(axis=1)
     keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
@@ -151,7 +161,7 @@ def moe_dispatch_capacity(
         selected = w > 0
         # Rank routed samples by batch order; unrouted samples sort to the end.
         order = jnp.argsort(jnp.where(selected, jnp.arange(b), b))
-        idx = order[:capacity]
+        idx = order[:caps[i]]
         valid = selected[idx]
         xi = x[idx]
         ti = time_emb[idx]
@@ -160,6 +170,17 @@ def moe_dispatch_capacity(
         wi = jnp.where(valid, w[idx], 0.0).astype(x.dtype)
         out = out.at[idx].add(oi * wi[:, None, None, None])
     return out
+
+
+def _per_expert_caps(capacity, n_experts: int):
+    """Normalize a scalar-or-sequence capacity to one static int per expert.
+
+    Heterogeneous experts are separate compile units, so per-expert STATIC
+    sub-batch sizes are free — the load-profiled capacity dial rides this."""
+    if isinstance(capacity, (list, tuple)):
+        assert len(capacity) == n_experts, (len(capacity), n_experts)
+        return tuple(int(c) for c in capacity)
+    return (int(capacity),) * n_experts
 
 
 def _onehot_matmul(m: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -209,6 +230,7 @@ def moe_dispatch_capacity_einsum(
     scatter path's broadcast multiply.
     """
     b = x.shape[0]
+    caps = _per_expert_caps(capacity, len(expert_fns))
     if text_emb is not None and text_emb.ndim == 3:
         text_emb = text_emb.mean(axis=1)
     keys = jax.random.split(key, len(expert_fns)) if (train and key is not None) else [None] * len(expert_fns)
@@ -217,7 +239,7 @@ def moe_dispatch_capacity_einsum(
         w = gate_weights[:, i]
         selected = w > 0
         order = jnp.argsort(jnp.where(selected, jnp.arange(b), b))
-        idx = order[:capacity]
+        idx = order[:caps[i]]
         valid = selected[idx]
         disp = jax.nn.one_hot(idx, b, dtype=x.dtype)  # (capacity, B)
         xi = _onehot_matmul(disp, x)
@@ -301,6 +323,11 @@ def moe_dispatch(
         )
     if mode == "pallas":
         cap = capacity if capacity is not None else x.shape[0]
+        if isinstance(cap, (list, tuple)):
+            raise ValueError(
+                "dispatch='pallas' packs experts into one stacked kernel call "
+                "and needs a uniform capacity; use 'capacity' or 'einsum' "
+                "with capacity_profile_*")
         return moe_dispatch_capacity_pallas(
             x, expert_fns, gate_weights, time_emb, text_emb,
             capacity=cap, top_k=top_k, train=train, key=key,

@@ -536,3 +536,79 @@ def test_stacked_einsum_full_model_matches_stacked_gather():
     out_e = precond_apply(params, replace(cfg, dispatch="einsum"),
                           x, sigma, txt, mask, mask, 0.0)["denoised"]
     np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_g), atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 load-profiled per-expert capacities (capacity_profile dial)
+# ---------------------------------------------------------------------------
+
+
+def test_per_expert_capacity_covers_load_equals_dense():
+    """Per-expert capacities sized to the actual routed load keep every
+    token — output equals dense for a top-1 sparse gate, in both the gather
+    and the einsum movement."""
+    x = jax.random.normal(KEY, (B, H, W, C))
+    t = jnp.zeros((B, 4))
+    idx = jnp.array([0, 0, 0, 0, 1, 2])  # loads [4, 1, 1]
+    gate = jax.nn.one_hot(idx, E)
+    dense = moe.moe_dispatch_dense(x, _make_experts(), gate, t, None)
+    for fn in (moe.moe_dispatch_capacity, moe.moe_dispatch_capacity_einsum):
+        out = fn(x, _make_experts(), gate, t, None, capacity=(4, 1, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_per_expert_capacity_drops_only_overloaded_expert():
+    x = jnp.ones((B, H, W, C))
+    t = jnp.zeros((B, 4))
+    idx = jnp.array([0, 0, 0, 1, 1, 2])  # loads [3, 2, 1]
+    gate = jax.nn.one_hot(idx, E)
+    out = moe.moe_dispatch_capacity(x, _make_experts(), gate, t, None,
+                                    capacity=(2, 2, 1))
+    got = np.asarray(out)
+    np.testing.assert_allclose(got[2], np.zeros((H, W, C)))  # 3rd -> expert0 dropped
+    np.testing.assert_allclose(got[0], np.ones((H, W, C)))
+    np.testing.assert_allclose(got[3], 2 * np.ones((H, W, C)))  # expert1 kept
+    np.testing.assert_allclose(got[5], 3 * np.ones((H, W, C)))  # expert2 kept
+
+
+def test_reroute_overflow_vector_capacity():
+    """Vector capacity matches scalar when uniform; respects per-expert
+    limits when not."""
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(3), (B, E)), axis=-1)
+    top1 = jnp.argmax(probs, axis=1)
+    w = jax.nn.one_hot(top1, E) * probs
+    uni_s = moe.reroute_overflow(w, probs, 2)
+    uni_v = moe.reroute_overflow(w, probs, jnp.array([2, 2, 2]))
+    np.testing.assert_allclose(np.asarray(uni_s), np.asarray(uni_v))
+    vec = moe.reroute_overflow(w, probs, jnp.array([B, B, B]))
+    np.testing.assert_allclose(np.asarray(vec), np.asarray(w))  # nothing moves
+    per = np.asarray(moe.reroute_overflow(w, probs, jnp.array([1, 1, 1])))
+    assert ((per > 0).sum(axis=0) <= 1).all()  # per-expert cap respected
+
+
+def test_capacity_profile_model_matches_dense(tmp_path):
+    """Full tiny model: capacity_profile covering the whole batch per expert
+    reproduces dense exactly (the no-drop guarantee at profile level)."""
+    from dataclasses import replace
+
+    from hdmoe_tpu.models import precond_apply, precond_init
+    from tests.test_model import tiny_cfg
+
+    cfg_d = tiny_cfg(dispatch="dense")
+    cfg_p = replace(
+        tiny_cfg(dispatch="einsum", capacity_policy="priority"),
+        capacity_profile_unet=(1.0, 1.0), capacity_profile_vit=(1.0, 1.0))
+    params = precond_init(KEY, cfg_d)
+    b = 4
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, cfg_d.img_resolution,
+                                                   cfg_d.img_resolution, cfg_d.in_channels))
+    sigma = jnp.full((b, 1, 1, 1), 0.7)
+    text = jax.random.normal(jax.random.PRNGKey(6), (b, 7, cfg_d.text_emb_dim))
+    ones = jnp.ones((b, cfg_d.num_experts))
+    outs = {}
+    for nm, cfg in (("dense", cfg_d), ("profile", cfg_p)):
+        outs[nm] = precond_apply(params, cfg, x, sigma, text, ones, ones, 0.0,
+                                 transition_point=-1.2, softness=1.6)["denoised"]
+    np.testing.assert_allclose(np.asarray(outs["profile"]), np.asarray(outs["dense"]),
+                               rtol=2e-5, atol=2e-5)

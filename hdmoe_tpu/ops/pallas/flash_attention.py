@@ -774,6 +774,123 @@ def _smallhead_forward_t(qT, kT, vT, bias, *, block_q: int, interpret: bool):
     return out.reshape(b, h, d, lqp)[:, :, :, :lq]
 
 
+def _smallhead_bwd_kernel_t(q_ref, k_ref, v_ref, dot_ref, ot_ref,
+                            dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                            *, sm_scale):
+    """Single-pass backward on (d, L) operands — no layout change anywhere.
+
+    The standard small-head backward (``_smallhead_bwd_kernel``) already
+    wants dO/O PRE-TRANSPOSED to (d, block_q) so D rides the sublane axis;
+    in the transposed pipeline every operand ARRIVES that way, so this
+    kernel is the same math with the residual transposes deleted:
+    ``st = kTᵀ qT`` is directly the (Lk, bq) score layout, and the three
+    gradient contractions each have a d-minor-in/d-minor-out form
+    (dVᵀ = dOᵀ P, dKᵀ = Qᵀ dSᵀ·scale, dQᵀ = Kᵀ dS·scale). K/V and the
+    fp32 dk/dv accumulators stay VMEM-resident across the q sweep of one
+    (b, h), lse re-derived in-kernel — one pallas_call total, like the
+    standard single-pass kernel (round-4 VERDICT item 5)."""
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]       # (dp, block_q)
+    k = k_ref[0]       # (dp, Lk)
+    v = v_ref[0]       # (dp, Lk)
+    dot_ = dot_ref[0]  # (dp, block_q) = dO^T (natural layout here)
+    ot = ot_ref[0]     # (dp, block_q) = O^T
+    # s^T: contract d (sublane axis of both) -> (Lk, bq)
+    st = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * sm_scale
+    m = jnp.max(st, axis=0, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(st - m), axis=0, keepdims=True))
+    pn = jnp.exp(st - lse)  # P^T, normalized (Lk, bq)
+    pnl = pn.astype(v.dtype)
+    # dV^T = dO^T P: contract block_q (lanes of both) -> (dp, Lk)
+    dv_scr[...] += jax.lax.dot_general(dot_, pnl, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    # (dP)^T = V^T dO contracted over d -> (Lk, bq)
+    dpt = jax.lax.dot_general(v, dot_, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    drow = jnp.sum(dot_.astype(jnp.float32) * ot.astype(jnp.float32),
+                   axis=0, keepdims=True)  # (1, bq) = D, sublane reduction
+    ds = (pn * (dpt - drow)).astype(k.dtype)  # (dS)^T (Lk, bq)
+    # dK^T = Q^T dS^T: contract block_q -> (dp, Lk)
+    dk_scr[...] += jax.lax.dot_general(q, ds, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32) * sm_scale
+    # dQ^T = K^T dS: contract Lk -> (dp, bq)
+    dq = jax.lax.dot_general(k, ds, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _smallhead_backward_t(qT, kT, vT, outT, gT, *, block_q: int, interpret: bool):
+    """Fused dqT/dkT/dvT for the transposed small-head regime: one
+    pallas_call, zero layout copies in or out.
+
+    Padded q columns are zero in q AND in dO, so their score columns
+    contribute exactly-zero to every gradient (ds column = pn * 0) — no
+    masking needed; Lk is taken whole per block like the transposed
+    forward."""
+    b, h, d, lq = qT.shape
+    lk = kT.shape[3]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = max(8, min(block_q, lq))
+    qT = _pad_axis(qT, 3, block_q)
+    gT = _pad_axis(gT, 3, block_q)
+    outT = _pad_axis(outT, 3, block_q)
+    lqp = qT.shape[3]
+    bh = b * h
+    qr = qT.reshape(bh, d, lqp)
+    kr = kT.reshape(bh, d, lk)
+    vr = vT.reshape(bh, d, lk)
+    gr = gT.reshape(bh, d, lqp)
+    orr = outT.reshape(bh, d, lqp)
+
+    nq = lqp // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_smallhead_bwd_kernel_t, sm_scale=sm_scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d, lqp), qT.dtype),
+            jax.ShapeDtypeStruct((bh, d, lk), qT.dtype),
+            jax.ShapeDtypeStruct((bh, d, lk), qT.dtype),
+        ),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),  # qT
+            pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),       # kT
+            pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),       # vT
+            pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),  # dO^T
+            pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),  # O^T
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, block_q), lambda bhi, i: (bhi, 0, i)),
+            pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),
+            pl.BlockSpec((1, d, lk), lambda bhi, i: (bhi, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, lk), jnp.float32),
+            pltpu.VMEM((d, lk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(qr, kr, vr, gr, orr)
+
+    dq = dq.reshape(b, h, d, lqp)[:, :, :, :lq]
+    dk = dk.reshape(b, h, d, lk)
+    dv = dv.reshape(b, h, d, lk)
+    return dq, dk, dv
+
+
 def _transposed_eligible(d: int, lk: int) -> bool:
     """The small-head single-pass regime, i.e. where the transposed layout
     has a kernel. Mirrors _flash_forward's specialization condition."""
@@ -801,8 +918,16 @@ def _flash_t_fwd(qT, kT, vT, bias, block_q, interpret):
 def _flash_t_bwd(block_q, interpret, residuals, gT):
     qT, kT, vT, bias, outT = residuals
     tr = lambda t: jnp.swapaxes(t, 2, 3)  # noqa: E731
+    d, lk = qT.shape[2], kT.shape[3]
+    if bias is None and _transposed_eligible(d, lk):
+        # Native transposed single-pass backward: no layout copies (this was
+        # the 2x tg64 b4 backward regression that pinned TrainConfig to
+        # attn_layout="std", artifacts/tg64_bwd_recheck_r4.json).
+        bq = min(block_q, 256 if lk <= 2048 else 128)
+        dq, dk, dv = _smallhead_backward_t(
+            qT, kT, vT, outT, gT, block_q=bq, interpret=interpret)
+        return dq, dk, dv, None
     if bias is None:
-        lk = kT.shape[3]
         dq, dk, dv = _flash_backward_nobias(
             tr(qT), tr(kT), tr(vT), tr(outT), tr(gT),
             block_q=block_q, block_k=512, interpret=interpret,

@@ -257,6 +257,38 @@ def test_flash_attention_t_grads_match_reference():
                                        err_msg=f"bias={b_ is not None}")
 
 
+def test_flash_attention_t_fused_bwd_odd_shapes():
+    """The round-5 native transposed backward (_smallhead_backward_t) at
+    ragged lq (block padding) and long lk, fp32 and bf16 — grads must match
+    the reference attention's."""
+    from hdmoe_tpu.ops.pallas.flash_attention import flash_attention_t
+
+    for lq, lk, d, dtype, tol in (
+        (300, 128, 4, jnp.float32, 2e-4),
+        (64, 2100, 8, jnp.float32, 2e-4),
+        (96, 64, 4, jnp.bfloat16, 3e-2),
+    ):
+        q, k, v = _qkv(lq=lq, lk=lk, d=d)
+        q, k, v = (t.astype(dtype) for t in (q, k, v))
+
+        def f_t(q_, k_, v_):
+            return jnp.sum(flash_attention_t(_tr(q_), _tr(k_), _tr(v_),
+                                             interpret=True).astype(jnp.float32) ** 2)
+
+        def f_ref(q_, k_, v_):
+            return jnp.sum(_attention_reference(
+                q_.astype(jnp.float32), k_.astype(jnp.float32),
+                v_.astype(jnp.float32), None) ** 2)
+
+        gt = jax.grad(f_t, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+        for a, e in zip(gt, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(e), atol=tol, rtol=tol,
+                err_msg=f"lq={lq} lk={lk} d={d} {dtype}")
+
+
 def test_attn_layout_t_matches_std_pipeline():
     """The full mp_attention transposed pipeline (transposed projections +
     flash_attention_t + transposed out-projection) must match the standard

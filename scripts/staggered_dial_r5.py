@@ -1,0 +1,170 @@
+"""Staggered-sampler dial: no-drop quality AT capacity-dispatch speed
+(VERDICT r4 item 2 closure).
+
+Root cause (artifacts/router_telemetry_r5.json): lockstep sampling puts the
+whole batch at ONE sigma per step; the noise-conditioned routers concentrate
+per-step load onto one expert, and cf1 capacity (B/E slots) drops or
+wrong-routes most samples — 11x FID on the strong checkpoint. The staggered
+sampler (hdmoe_tpu/sampler/staggered.py) spreads slots across the schedule so
+every call is a mixed-sigma batch (the training-time routing distribution):
+per-expert load ~ B/E and capacity dispatch keeps every routed token.
+
+Arms (checkpoint of record, b128+LRx2 seed-7, dense FID@5k 0.2857):
+  - stag_cf1p_b512: staggered + einsum + cf1 + priority at the bench batch.
+    Target: >= 300 img/s AND FID <= 1.1x dense.
+  - stag_cf1p_b32: same dial at the dial_second_ckpt batch (32) so the FID
+    sits in the same table as the recorded dense/cf1p/cf2p arms.
+  - canonical-checkpoint replication (artifacts/longrun_canonical/ckpt):
+    the round-3 checkpoint, so the claim holds on BOTH checkpoints.
+
+Throughput metric: steady-state batch/round-wall; per-image NFE is 2n=36
+(the staggered corrector runs every iteration) vs lockstep 35 — reported.
+
+Usage: python scripts/staggered_dial_r5.py [n_fid]
+Writes artifacts/staggered_dial_r5.json (incremental per-arm).
+"""
+
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "artifacts/staggered_dial_r5.json"
+N_FID = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+PROMPT = "a photo of a flower"
+NUM_STEPS = 18
+CKPTS = {
+    "seed7": os.path.abspath("artifacts/dial_second_ckpt_r4/ckpt_seed7"),
+    "canonical": os.path.abspath("artifacts/longrun_canonical/ckpt"),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdmoe_tpu.compilecache import enable_persistent_cache
+    from hdmoe_tpu.models import precond_init
+    from hdmoe_tpu.obs.fid import RandomConvFeatures, fid_evaluate
+    from hdmoe_tpu.sampler.staggered import StaggeredEngine
+    from hdmoe_tpu.train import presets
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.configs import RunConfig  # noqa: F401 (import parity)
+    from hdmoe_tpu.train.data import batch_iterator, make_dataset
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    enable_persistent_cache()
+    print("device:", jax.devices()[0], flush=True)
+    results = {}
+    if os.path.exists(OUT):
+        results.update(json.load(open(OUT)))
+
+    def save():
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+    model, *_ = presets.latent_256_clip(total_steps=100)
+    model = replace(model, skip_mode="canonical")
+
+    params0 = jax.jit(lambda k: precond_init(k, model))(jax.random.PRNGKey(0))
+    feature_fn = RandomConvFeatures()
+    ds = make_dataset("synthetic", resolution=256, seed=0)
+
+    def load_params(ckpt_dir):
+        cm = CheckpointManager(ckpt_dir)
+        state, _, _ = cm.restore(init_train_state(params0, OptimConfig()),
+                                 jax.random.PRNGKey(0))
+        cm.close()
+        return state.params
+
+    def run_arm(name, params, batch, cfg_kw, fid_n):
+        if name in results:
+            print(f"[{name}] cached: {results[name]}", flush=True)
+            return
+        cfg = replace(model, compute_dtype="bfloat16", use_flash=True, **cfg_kw)
+        t0 = time.time()
+        eng = StaggeredEngine(cfg, params, batch=batch, num_steps=NUM_STEPS,
+                              vae_kind="fake", text_kind="fake")
+        eng.set_prompts([PROMPT], seed=1000)
+        lat = eng.sample_round()  # compiles + warm-up round + round 1
+        float(lat[0, 0, 0, 0])
+        print(f"[{name}] compiled+warm in {time.time()-t0:.0f}s", flush=True)
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            float(eng.sample_round()[0, 0, 0, 0])
+            walls.append(time.time() - t0)
+        wall = sorted(walls)[1]
+
+        buf = []
+
+        def sample_fn(n_req):
+            while sum(len(b) for b in buf) < n_req:
+                buf.append(np.asarray(eng.vae.decode(eng.sample_round())))
+            flat = np.concatenate(buf, axis=0)
+            out, rest = flat[:n_req], flat[n_req:]
+            buf.clear()
+            if len(rest):
+                buf.append(rest)
+            return out
+
+        def real_stream():
+            for imgs in batch_iterator(ds, min(batch, 128), seed=0):
+                yield np.asarray(eng.vae.decode(eng.vae.encode(jnp.asarray(imgs))))
+
+        t0 = time.time()
+        fid = fid_evaluate(sample_fn, real_stream(), feature_fn,
+                           n=fid_n, batch=min(batch, 128))
+        results[name] = {
+            "img_per_sec_chip": round(batch / wall, 1),
+            "round_wall_s": round(wall, 3),
+            "fid": round(float(fid), 4),
+            "n": fid_n, "nfe_per_image": 2 * NUM_STEPS,
+            "batch": batch, "sampler": "staggered",
+            "dispatch": cfg_kw, "tower": "random-conv",
+            "tower_fingerprint": feature_fn.fingerprint(),
+            "real_roundtrip": True,
+        }
+        print(f"[{name}] {results[name]} (fid wall {time.time()-t0:.0f}s)",
+              flush=True)
+        save()
+
+    cf1p = {"dispatch": "einsum", "capacity_factor": 1.0,
+            "capacity_policy": "priority"}
+    cf2p = {"dispatch": "einsum", "capacity_factor": 2.0,
+            "capacity_policy": "priority"}
+    # Load-profiled per-expert capacities: measured steady-state shares on
+    # THIS checkpoint (router_telemetry_r5.json mixed-sigma: unet
+    # [0.32, 0.00, 0.16, 0.52], vit [0.39, 0.06, 0.27, 0.28]) x ~1.2 slack.
+    prof = {"dispatch": "einsum", "capacity_policy": "priority",
+            "capacity_profile_unet": (0.40, 0.03, 0.20, 0.62),
+            "capacity_profile_vit": (0.47, 0.08, 0.33, 0.35)}
+
+    params7 = load_params(CKPTS["seed7"])
+    run_arm("seed7_stag_profile_b512", params7, 512, prof, N_FID)
+    run_arm("seed7_stag_cf2p_b512", params7, 512, cf2p, N_FID)
+    run_arm("seed7_stag_cf1p_b512", params7, 512, cf1p, N_FID)
+    run_arm("seed7_stag_cf1p_b32", params7, 32, cf1p, N_FID)
+
+    if os.path.isdir(CKPTS["canonical"]):
+        pc = load_params(CKPTS["canonical"])
+        run_arm("canonical_stag_cf1p_b512", pc, 512, cf1p, N_FID)
+
+    # Reference anchors for the table (recorded round-4 numbers).
+    results["anchors"] = {
+        "seed7_dense_b32": {"img_per_sec_chip": 85.1, "fid": 0.2857},
+        "seed7_lockstep_cf1p_b32": {"img_per_sec_chip": 174.2, "fid": 3.1716},
+        "canonical_dense_fid50k": 1.4596,
+        "source": "artifacts/dial_second_ckpt_r4/RESULTS.json, fid50k_r3.json",
+    }
+    save()
+    print("DONE", json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

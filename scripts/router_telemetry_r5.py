@@ -18,8 +18,8 @@ And the counterfactual: the same router evaluated on a MIXED-SIGMA batch
 (slots spread uniformly over the schedule, exactly the staggered sampler's
 steady state) — per-call load flattens toward B/E and drops vanish.
 
-Usage: python scripts/router_telemetry_r5.py [batch]
-Writes artifacts/router_telemetry_r5.json.
+Usage: python scripts/router_telemetry_r5.py [batch] [ckpt_dir] [out_json]
+Writes artifacts/router_telemetry_r5.json (default: seed-7 checkpoint).
 """
 
 import json
@@ -30,9 +30,10 @@ from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = "artifacts/router_telemetry_r5.json"
-CKPT = os.path.abspath("artifacts/dial_second_ckpt_r4/ckpt_seed7")
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+CKPT = os.path.abspath(sys.argv[2] if len(sys.argv) > 2
+                       else "artifacts/dial_second_ckpt_r4/ckpt_seed7")
+OUT = sys.argv[3] if len(sys.argv) > 3 else "artifacts/router_telemetry_r5.json"
 NUM_STEPS = 18
 PROMPT = "a photo of a flower"
 

@@ -7,8 +7,12 @@ n=50,000 with the same methodology (random-conv tower, VAE-roundtripped
 real stream, shared real-side stats cache):
 
   - bf16_flash_dense           : quality anchor (lockstep, 35 NFE)
-  - stag_einsum_cf1p_b512      : the round-5 staggered no-drop dial
-                                 (36 NFE/img; hdmoe_tpu/sampler/staggered.py)
+  - stag_profile_b512          : the round-5 staggered + load-profiled
+                                 per-expert-capacity dial (36 NFE/img;
+                                 hdmoe_tpu/sampler/staggered.py) — FID@5k
+                                 0.2832 vs dense 0.2857 at 226 img/s
+  - stag_dpm20_profile_b512    : the same dial on DPM++(2M)-20 (20 NFE/img)
+                                 if its 5k FID holds up
   - dpm20_dense                : the round-3 solver quality dial
                                  (dpm_eval_r3: beat heun18 on both axes)
 
@@ -153,19 +157,26 @@ def main():
 
         score_stream(name, next_batch, engine.nfe)
 
-    # --- staggered no-drop dial at the bench batch --------------------------
-    name = "stag_einsum_cf1p_b512"
-    if name not in results:
-        cfg = fast({"dispatch": "einsum", "capacity_factor": 1.0,
-                    "capacity_policy": "priority"})
+    # --- staggered no-drop dials at the bench batch -------------------------
+    prof = {"dispatch": "einsum", "capacity_policy": "priority",
+            "capacity_profile_unet": (0.40, 0.03, 0.20, 0.62),
+            "capacity_profile_vit": (0.47, 0.08, 0.33, 0.35)}
+    stag_arms = [("stag_profile_b512", "heun", NUM_STEPS)]
+    if os.environ.get("FID50K_DPM_STAG"):
+        stag_arms.append(("stag_dpm20_profile_b512", "dpmpp2m", 20))
+    for name, solver, steps in stag_arms:
+        if name in results:
+            print(f"[{name}] cached", flush=True)
+            continue
+        cfg = fast(prof)
         t0 = time.time()
-        eng = StaggeredEngine(cfg, params, batch=512, num_steps=NUM_STEPS,
-                              vae_kind="fake", text_kind="fake")
+        eng = StaggeredEngine(cfg, params, batch=512, num_steps=steps,
+                              vae_kind="fake", text_kind="fake", solver=solver)
         eng.set_prompts([PROMPT], seed=1000)
         print(f"[{name}] engine built in {time.time()-t0:.0f}s", flush=True)
 
-        def next_batch():
-            return np.asarray(eng.vae.decode(eng.sample_round()))
+        def next_batch(e=eng):
+            return np.asarray(e.vae.decode(e.sample_round()))
 
         score_stream(name, next_batch, eng.nfe_per_image)
 

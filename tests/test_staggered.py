@@ -16,6 +16,7 @@ from hdmoe_tpu.sampler.edm import EDMSamplerConfig, edm_sample, make_denoiser
 from hdmoe_tpu.sampler.staggered import (
     StaggeredEngine,
     make_staggered_round,
+    staggered_init_state,
     staggered_offsets,
 )
 from tests.test_model import tiny_cfg
@@ -41,10 +42,9 @@ def test_staggered_matches_lockstep_mock(batch, n):
     shape = (batch, 4, 4, 2)
     round_fn = jax.jit(make_staggered_round(_mock_denoiser, cfg, batch))
 
-    x = jnp.zeros(shape, jnp.float32)
-    outbuf = jnp.zeros(shape, jnp.float32)
-    x, outbuf = round_fn(x, outbuf, jnp.int32(0), None, key)  # warm-up
-    x, images = round_fn(x, outbuf, jnp.int32(n), None, key)
+    state = staggered_init_state(batch, shape[1:])
+    state, _ = round_fn(state, jnp.int32(0), None, key)  # warm-up
+    state, images = round_fn(state, jnp.int32(n), None, key)
 
     offsets = staggered_offsets(batch, n)
     for i in range(batch):
@@ -74,10 +74,9 @@ def test_staggered_engine_real_model_dense():
     den = make_denoiser(partial(precond_apply, params, cfg), cfg.num_experts, -1.2, 1.6)
     round_fn = jax.jit(make_staggered_round(den, scfg, batch))
     shape = (batch, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
-    x = jnp.zeros(shape, jnp.float32)
-    outbuf = jnp.zeros(shape, jnp.float32)
-    x, outbuf = round_fn(x, outbuf, jnp.int32(0), text, key)
-    x, images = round_fn(x, outbuf, jnp.int32(n), text, key)
+    state = staggered_init_state(batch, shape[1:])
+    state, _ = round_fn(state, jnp.int32(0), text, key)
+    state, images = round_fn(state, jnp.int32(n), text, key)
 
     offsets = staggered_offsets(batch, n)
     for i in (0, batch - 1):
@@ -107,3 +106,28 @@ def test_staggered_engine_stream():
     assert a.shape == (4, cfg.img_resolution, cfg.img_resolution, cfg.in_channels)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.allclose(a, b)  # fresh noise each trajectory
+
+
+def test_staggered_dpm_matches_lockstep():
+    """DPM++(2M) staggered: slot trajectories (with cross-round multistep
+    history) match the lockstep dpmpp_2m_sample fed the same noise."""
+    from hdmoe_tpu.sampler.dpm import dpmpp_2m_sample
+
+    batch, n = 4, 6
+    cfg = EDMSamplerConfig(num_steps=n, sigma_min=0.01, sigma_max=10.0)
+    key = jax.random.PRNGKey(9)
+    shape = (batch, 4, 4, 2)
+    round_fn = jax.jit(make_staggered_round(_mock_denoiser, cfg, batch,
+                                            solver="dpmpp2m"))
+    state = staggered_init_state(batch, shape[1:], solver="dpmpp2m")
+    state, _ = round_fn(state, jnp.int32(0), None, key)  # warm-up
+    state, images = round_fn(state, jnp.int32(n), None, key)
+
+    offsets = staggered_offsets(batch, n)
+    for i in range(batch):
+        it_reset = _expected_reset_iteration(i, offsets, n)
+        noise_full = jax.random.normal(jax.random.fold_in(key, it_reset), shape)
+        ref = dpmpp_2m_sample(_mock_denoiser, noise_full[i : i + 1], None, cfg)
+        np.testing.assert_allclose(
+            np.asarray(images[i]), np.asarray(ref[0]), rtol=2e-5, atol=2e-5
+        )

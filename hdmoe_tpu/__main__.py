@@ -164,6 +164,45 @@ def _cmd_posthoc_ema(args):
     print(f"wrote sigma_rel={args.sigma_rel} t={t_target:g} post-hoc EMA checkpoint to {args.out}")
 
 
+def _cmd_calibrate(args):
+    """Measure per-expert routing load shares -> capacity_profile fractions.
+
+    The round-5 serving dial: staggered sampling + load-profiled per-expert
+    capacities matches-or-beats dense FID at capacity-dispatch speed
+    (PERF.md round-5 section), but the shares are a CHECKPOINT property —
+    calibrate once per deployed checkpoint and pin the printed fractions in
+    the serving config (capacity_profile_unet/vit).
+    """
+    import json
+
+    import jax
+
+    from hdmoe_tpu.models import default_model_config, precond_init
+    from hdmoe_tpu.obs.calibrate import measure_capacity_profile
+    from hdmoe_tpu.train.checkpoint import CheckpointManager
+    from hdmoe_tpu.train.optim import OptimConfig
+    from hdmoe_tpu.train.train_step import init_train_state
+
+    if args.preset:
+        from hdmoe_tpu.train import presets
+
+        builder = presets.PRESETS.get(args.preset)
+        if builder is None:
+            sys.exit(f"unknown preset '{args.preset}'; available: {sorted(presets.PRESETS)}")
+        cfg = builder()[0]
+    else:
+        cfg = default_model_config()
+    params0 = jax.jit(lambda k: precond_init(k, cfg))(jax.random.PRNGKey(0))
+    cm = CheckpointManager(args.checkpoint)
+    state, _, _ = cm.restore(init_train_state(params0, OptimConfig()),
+                             jax.random.PRNGKey(0))
+    cm.close()
+    _, _, report = measure_capacity_profile(
+        state.params, cfg, batch=args.batch_size, num_steps=args.steps,
+        slack=args.slack)
+    print(json.dumps(report, indent=1))
+
+
 def _cmd_fid(args):
     import json
 
@@ -488,6 +527,17 @@ def main(argv=None):
     p_smoke = sub.add_parser("smoke", help="hermetic end-to-end smoke run")
     p_smoke.add_argument("--steps", type=int, default=5)
     p_smoke.set_defaults(fn=_cmd_smoke)
+
+    p_cal = sub.add_parser(
+        "calibrate",
+        help="measure per-expert routing load shares for the "
+             "capacity_profile serving dial (PERF.md round 5)")
+    p_cal.add_argument("checkpoint")
+    p_cal.add_argument("--preset", default="")
+    p_cal.add_argument("--batch-size", type=int, default=128)
+    p_cal.add_argument("--steps", type=int, default=18)
+    p_cal.add_argument("--slack", type=float, default=1.2)
+    p_cal.set_defaults(fn=_cmd_calibrate)
 
     p_fid = sub.add_parser("fid", help="FID @ n between a checkpoint's samples and a dataset")
     p_fid.add_argument("checkpoint")

@@ -94,3 +94,32 @@ def test_cli_serve_rejects_unknown_dial():
     r = _run(["serve", "--dial", "warp9"])
     assert r.returncode != 0
     assert "--dial" in r.stderr or "invalid choice" in r.stderr
+
+
+def test_calibrate_measures_load_shares():
+    """obs/calibrate.measure_capacity_profile: shares sum to 1 per path,
+    profiles carry slack, flops multiplier consistent (the round-5
+    capacity_profile dial input)."""
+    import jax
+
+    from hdmoe_tpu.models import precond_init
+    from hdmoe_tpu.obs.calibrate import measure_capacity_profile
+    from tests.test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    up, vp, rep = measure_capacity_profile(params, cfg, batch=8, num_steps=4,
+                                           slack=1.25)
+    assert len(up) == cfg.num_experts and len(vp) == cfg.num_experts
+    assert abs(sum(rep["unet_loads"]) - 1.0) < 1e-6
+    assert abs(sum(rep["vit_loads"]) - 1.0) < 1e-6
+    for prof, loads in ((up, rep["unet_loads"]), (vp, rep["vit_loads"])):
+        for f, l in zip(prof, loads):
+            assert f >= min(1.0, l)  # slack never under-provisions
+    assert rep["flops_multiplier_vs_cf1"] > 0
+
+
+def test_calibrate_cli_help():
+    r = _run(["calibrate", "--help"])
+    assert r.returncode == 0
+    assert "--slack" in r.stdout

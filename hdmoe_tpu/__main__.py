@@ -233,16 +233,18 @@ def _cmd_fid(args):
 SERVE_DIALS = {
     # reference-faithful fp32 dense Heun-35 (FID anchor 1.43, ~75 img/s)
     "parity": (dict(), "heun", 18),
-    # dpm20 + cf=2.0 priority: tower-FID 1.02-1.08 on the canonical
-    # checkpoint (50k-confirmed 1.0301, fid50k_r3.json), 306 img/s at
-    # --batch-size 512 — but the dense-beating inversion is checkpoint-
-    # dependent (PERF.md round-4 second-checkpoint validation): sweep your
-    # checkpoint before trusting the quality ranking.
-    # dispatch="einsum" (round 4): same capacity semantics, one-hot MXU
-    # matmul token movement, +9.6% (einsum_dispatch_ab_r4.json).
+    # dpm20 DENSE (round-5 re-pin): the round-3/4 dpm20+cf2p quality dial
+    # is quality-broken on strong checkpoints under LOCKSTEP batching
+    # (routing collapse, artifacts/router_telemetry_r5.json: FID 2.83 on
+    # the b128+LRx2 checkpoint where dense scores 0.286). Dense dispatch
+    # is exact under any batch composition, and dpm-20 beats heun-18 on
+    # both axes on BOTH checkpoints (dpm_eval_r3.json; staggered dense
+    # control 0.2618 vs 0.2857, staggered_dial_r5.json). For capacity-
+    # dispatch speed AT dense quality, calibrate a capacity_profile
+    # (`python -m hdmoe_tpu calibrate`) and use the staggered engine
+    # (sampler/staggered.py: dpm20+profile 374 img/s @ FID 0.2612).
     "quality": (dict(compute_dtype="bfloat16", use_flash=True,
-                     dispatch="einsum", capacity_factor=2.0,
-                     capacity_policy="priority"), "dpmpp2m", 20),
+                     dispatch="dense"), "dpmpp2m", 20),
     # dpm14 + cf=1.0 priority: 670 img/s at --batch-size 512 at the
     # capacity dial's FID ~2.1 (frontier_b512_r3.json); einsum dispatch
     # round 4 (+9.6% at the 35-NFE point, einsum_dispatch_ab_r4.json)

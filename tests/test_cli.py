@@ -85,7 +85,10 @@ def test_serve_dials_are_valid_config_overrides():
         make_sampler(solver)  # raises on unknown solver
         assert solver_nfe(solver, steps) >= steps
         if name == "quality":
-            assert cfg.capacity_factor == 2.0 and cfg.capacity_policy == "priority"
+            # round-5 re-pin: dense dispatch (exact under any batch
+            # composition; lockstep capacity dials are quality-broken on
+            # strong checkpoints — router_telemetry_r5.json)
+            assert cfg.dispatch == "dense" and solver == "dpmpp2m"
         if name == "throughput":
             assert solver_nfe(solver, steps) == 14
 

@@ -25,6 +25,7 @@ from dataclasses import replace
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_FID = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 OUTDIR = "artifacts/train_einsum_quality_r5"
 OUT = f"{OUTDIR}/RESULTS.json"
 SEED = 7

@@ -43,14 +43,16 @@ class TrainConfig:
     extreme_prob: float = 0.5
     transition_point: float = -1.2  # = p_mean (training.py:151)
     softness: float = 1.6  # = p_std (training.py:152)
-    # Flash-attention input layout for the TRAIN step. The transposed
-    # pipeline ("t", the sampler default) eliminates forward layout copies,
-    # but its BACKWARD pays explicit transposes around the fused kernel —
-    # measured 2x dense on the tg64 seq-4096 step (142.2 vs 72.5 ms at b4)
-    # where the std layout matches dense (72.3 ms) and wins outright at
-    # b16 where dense OOMs (artifacts/tg64_bwd_recheck_r4.json). Training
-    # therefore pins "std"; sampling keeps "t".
-    attn_layout: str = "std"
+    # Flash-attention input layout for the TRAIN step. Round 4 pinned "std"
+    # because the transposed pipeline's BACKWARD paid explicit transposes
+    # (2x dense at tg64 b4, artifacts/tg64_bwd_recheck_r4.json). Round 5's
+    # native transposed single-pass backward (_smallhead_backward_t,
+    # ops/pallas/flash_attention.py) deleted those transposes and FLIPPED
+    # the ranking on an idle-host rerun of the same protocol
+    # (artifacts/tg64_bwd_recheck_r5_idle.json): t 54.9 ms vs std 57.9 vs
+    # dense 70.9 at b4, and t 121.1 vs std 139.3 at b16 (where dense OOMs).
+    # Training now matches sampling's "t" layout everywhere.
+    attn_layout: str = "t"
 
 
 def init_train_state(params, optim_cfg: OptimConfig) -> TrainState:
